@@ -1,0 +1,88 @@
+"""Pipeline configuration.
+
+The reference's CLI flags (reference: /root/reference/src/params.rs:6-39)
+become one frozen dataclass. Key departures from the reference, by design:
+
+- the hash seed is FIXED and configurable (the reference draws a random seed
+  per run, /root/reference/src/server.rs:38-39) — determinism is a hard
+  requirement for the recall gate and the DuckDB oracle;
+- ``strict`` selects how far verification goes (the reference only switches
+  full-hash vs first-16KiB-hash, /root/reference/src/processor.rs:61-64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # ---- filters (reference: src/params.rs, src/scanner.rs) -------------
+    #: minimum assembled-conversation size in chars; the reference default is
+    #: 1 byte, i.e. empty files never dedup (src/params.rs:22, scanner.rs:103).
+    min_size: int = 1
+    #: include-only these tool labels (≈ --types, src/scanner.rs:34-38).
+    include_tools: tuple[str, ...] = ()
+    #: drop these tool labels (≈ --exclude-types, src/scanner.rs:40-43).
+    exclude_tools: tuple[str, ...] = ()
+    #: bounds on turn_idx (≈ --min-depth/--max-depth, src/scanner.rs:55-67).
+    min_turn_idx: int | None = None
+    max_turn_idx: int | None = None
+
+    # ---- exact tier (reference: src/fileinfo.rs:27-48) ------------------
+    #: chars of assembled doc hashed by the fast/prefix tier (the reference
+    #: hashes the first 16,384 bytes, src/fileinfo.rs:42-48).
+    prefix_len: int = 16384
+    #: strict ⇒ duplicate requires full-content hash equality; fast ⇒ prefix
+    #: hash equality suffices (src/processor.rs:61-64).
+    strict: bool = False
+
+    # ---- near-dup tier (north rule; no reference analog) ----------------
+    #: char-shingle width for MinHash.
+    shingle_k: int = 9
+    #: MinHash permutations; must equal lsh_bands * lsh_rows.
+    num_perm: int = 128
+    lsh_bands: int = 16
+    lsh_rows: int = 8
+    #: Jaccard threshold a verified candidate pair must meet.
+    jaccard_threshold: float = 0.7
+    #: verify candidates with exact shingle Jaccard (pandas UDF) instead of
+    #: the cheap signature-agreement estimate.
+    exact_verify: bool = False
+    #: cap on members of one LSH band bucket; bigger buckets are broken up
+    #: deterministically and the overflow is logged (never silently dropped).
+    band_bucket_cap: int = 2000
+
+    # ---- SimHash tier ----------------------------------------------------
+    simhash_bits: int = 64
+    #: max Hamming distance for a SimHash near-exact match.
+    simhash_hamming: int = 3
+
+    # ---- suffix / shared-span tier ---------------------------------------
+    #: minimum shared-substring length (chars) the span stage reports.
+    min_span_len: int = 4096
+    #: anchor sampling rate: one anchor per ~this many chars (winnowing-ish).
+    span_anchor_mod: int = 64
+    #: per-doc char cap inside the span-verify UDF (memory bound).
+    span_doc_cap: int = 1_000_000
+
+    # ---- determinism ------------------------------------------------------
+    #: seed for MinHash permutations & SimHash token hashing. Fixed, unlike
+    #: the reference's per-run random seed (src/server.rs:38-39).
+    seed: int = 42
+
+    # ---- execution --------------------------------------------------------
+    #: shuffle partitions; None ⇒ leave session default.
+    shuffle_partitions: int | None = None
+    #: max connected-components iterations before declaring non-convergence.
+    cc_max_iters: int = 25
+
+    def __post_init__(self) -> None:
+        if self.num_perm != self.lsh_bands * self.lsh_rows:
+            raise ValueError(
+                f"num_perm ({self.num_perm}) must equal "
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows})"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,112 @@
+"""Stage 2 (exact tier): block → fingerprint → group.
+
+This is the reference's whole engine, re-expressed declaratively:
+
+- blocking key = (n_turns, total_chars) ≈ file size grouping
+  (reference: /root/reference/src/processor.rs:88-132, insert at 117-120);
+- singleton-block pruning — blocks with <2 members never get fingerprinted
+  (reference: /root/reference/src/processor.rs:41-42, the key perf trick);
+- prefix hash over the first ``prefix_len`` chars ≈ first-16KiB gxhash fast
+  mode (reference: /root/reference/src/fileinfo.rs:42-48);
+- full-content hash ≈ strict mode (reference: /root/reference/src/
+  fileinfo.rs:27-40). We hash the WHOLE doc in one md5 — the reference's
+  XOR-of-chunks fold is commutative, i.e. chunk-order-insensitive, a weakness
+  we deliberately do not replicate; and its size-salt (fileinfo.rs:38-39,
+  disambiguating empty vs all-NUL files) is unnecessary because whole-string
+  hashing plus the (n_turns,total_chars) block key already separates them.
+
+md5 (hex string) is used for oracle-checkable tiers — DuckDB's md5() agrees
+with Spark's on identical UTF-8 input. xxhash64 variants exist for speed when
+no oracle is needed. All hashing is JVM-side codegen — zero Python here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+
+
+def with_block_key(conversations: DataFrame) -> DataFrame:
+    """Cheap blocking key, the analog of exact byte size (A1).
+
+    Encoded into one long (n_turns in the high bits) so downstream
+    partitioning shuffles on a single column.
+    """
+    return conversations.withColumn(
+        "block_key",
+        (F.col("n_turns").cast("long") * F.lit(2**40) + F.col("total_chars")).alias(
+            "block_key"
+        ),
+    )
+
+
+def prune_singleton_blocks(conversations: DataFrame, key: str = "block_key") -> DataFrame:
+    """Keep only multi-member blocks (F3) — the pruning that lets the exact
+    tier skip fingerprinting unique conversations entirely
+    (reference: /root/reference/src/processor.rs:41-42, re-check :56).
+
+    A window count over the block key: one shuffle, no join, and Catalyst
+    pushes the count into a partial aggregate.
+    """
+    w = Window.partitionBy(key)
+    return (
+        conversations.withColumn("_block_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_block_n") > 1)
+        .drop("_block_n")
+    )
+
+
+def with_exact_hashes(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Attach prefix_hash (H2) and content_hash (H1) columns."""
+    cfg = cfg or DedupConfig()
+    return conversations.withColumn(
+        "prefix_hash", F.md5(F.substring(F.col("doc"), 1, cfg.prefix_len))
+    ).withColumn("content_hash", F.md5(F.col("doc")))
+
+
+def exact_clusters(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Full exact tier: returns (conv_id, n_turns, total_chars, first_ts,
+    dup_key) for every conversation in a ≥2-member duplicate group (A2+F4).
+
+    ``dup_key`` is the grouping fingerprint: content_hash under strict mode,
+    prefix_hash under fast mode (reference: src/processor.rs:61-64). Fast
+    mode therefore allows the same documented false positive as the
+    reference (same prefix, different tail ⇒ one group;
+    reference test: src/processor.rs:214-265).
+    """
+    cfg = cfg or DedupConfig()
+    blocked = prune_singleton_blocks(with_block_key(conversations))
+    hashed = with_exact_hashes(blocked, cfg)
+    dup_key = F.col("content_hash") if cfg.strict else F.col("prefix_hash")
+    # Fast mode still blocks by size first, so two convs only group when
+    # (n_turns, total_chars, prefix_hash) all agree — exactly the reference's
+    # size-block + prefix-hash containment.
+    keyed = hashed.withColumn(
+        "dup_key", F.concat_ws(":", F.col("block_key").cast("string"), dup_key)
+    )
+    w = Window.partitionBy("dup_key")
+    return (
+        keyed.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_n") > 1)
+        .drop("_n")
+    )
+
+
+def exact_pairs(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Exact-tier duplicate PAIRS (conv_a < conv_b, source='exact') feeding
+    the shared verify/CC stage. Pairs are emitted per dup group as
+    (member, group-min) star edges — O(n) edges per group instead of O(n²),
+    which matters when a templated conversation has thousands of copies.
+    """
+    clus = exact_clusters(conversations, cfg)
+    w = Window.partitionBy("dup_key")
+    star = clus.withColumn("anchor", F.min("conv_id").over(w)).where(
+        F.col("conv_id") != F.col("anchor")
+    )
+    return star.select(
+        F.least("conv_id", "anchor").alias("conv_a"),
+        F.greatest("conv_id", "anchor").alias("conv_b"),
+        F.lit("exact").alias("source"),
+    )

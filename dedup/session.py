@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the dedup pipeline.
+
+Scale posture (tested on local[N], designed for 1000-executor clusters):
+- AQE on with skew-join handling: LSH band buckets and conversation-length
+  blocks are Zipf-skewed by nature (templated tool outputs create mega-bands);
+  AQE splits the skewed shuffle partitions at runtime.
+- Arrow on: every custom fingerprint (MinHash/SimHash/spans) is a vectorized
+  pandas UDF fed by Arrow batches — never row-at-a-time Python.
+- UTC session timezone: required for DuckDB-oracle timestamp equality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dedup",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores). On a real
+    cluster this module is a no-op passthrough — spark-submit supplies master
+    and sizing, and these SQL confs remain correct.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("DEDUP_SHUFFLE_PARTITIONS", n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
