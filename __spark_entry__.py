@@ -1,38 +1,423 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every query exercises a dedup-engine operator (SURVEY.md §2) over the
+driver's parquet tables; transcripts are derived from ``documents``
+identically in Spark (dedup.driver_tables.derive_transcripts) and DuckDB
+(TRANSCRIPTS_SQL CTE) so the oracle sees the same input.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dedup.config import DedupConfig  # noqa: E402
+from dedup.driver_tables import (  # noqa: E402
+    CONVERSATIONS_SQL,
+    TRANSCRIPTS_SQL,
+    derive_transcripts,
+)
+
+_T = TRANSCRIPTS_SQL
+_TC = TRANSCRIPTS_SQL + CONVERSATIONS_SQL
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline (exact+MinHash/LSH+SimHash+span →
+    verify → connected components → keep policy) on sf0.001 transcripts."""
+    from dedup.pipeline import DedupPipeline
+
+    turns = derive_transcripts(spark, "/root/testdata/sf0.001")
+    cfg = DedupConfig(min_span_len=150)
+    result = DedupPipeline(spark, cfg, keep_policy="first_id").run(turns)
+    return result.clusters.select(
+        "conv_id", "cluster_id", "is_representative"
+    ).orderBy("cluster_id", "conv_id")
+
+
+# ---------------------------------------------------------------------------
+# queries — each (spark, sf_dir) -> DataFrame, exercising one operator
+# ---------------------------------------------------------------------------
+
+
+def _conversations(spark, sf_dir):
+    from dedup.assemble import assemble_conversations
+
+    return assemble_conversations(derive_transcripts(spark, sf_dir))
+
+
+def q_assemble(spark, sf_dir):
+    """N1: conversation assembly under stable turn ordering."""
+    return _conversations(spark, sf_dir).select(
+        "conv_id", "n_turns", "total_chars", "doc"
+    )
+
+
+def q_exact_dup_clusters(spark, sf_dir):
+    """A2+F4 strict: groups of byte-identical conversations."""
+    from dedup.exact import exact_clusters
+
+    clus = exact_clusters(_conversations(spark, sf_dir), DedupConfig(strict=True))
+    return clus.select(
+        "conv_id", F.col("content_hash").alias("group_hash")
+    )
+
+
+def q_prefix_dup_clusters(spark, sf_dir):
+    """A2 fast mode (H2): prefix-hash grouping at prefix_len=64."""
+    from dedup.exact import exact_clusters
+
+    cfg = DedupConfig(strict=False, prefix_len=64)
+    clus = exact_clusters(_conversations(spark, sf_dir), cfg)
+    return clus.select("conv_id", F.col("prefix_hash").alias("group_hash"))
+
+
+def q_block_candidates(spark, sf_dir):
+    """A1+F3: multi-member (n_turns,total_chars) blocks — the conversations
+    that survive singleton pruning and reach the fingerprint stage."""
+    from dedup.exact import prune_singleton_blocks, with_block_key
+
+    conv = with_block_key(_conversations(spark, sf_dir))
+    return prune_singleton_blocks(conv).select("conv_id", "n_turns", "total_chars")
+
+
+def q_keep_policy(spark, sf_dir):
+    """N10: exact-dup clusters + representative selection (first_id policy —
+    derived transcripts carry null ts)."""
+    from dedup.cc import connected_components
+    from dedup.exact import exact_pairs
+    from dedup.keep import select_representatives
+
+    conv = _conversations(spark, sf_dir)
+    pairs = exact_pairs(conv, DedupConfig(strict=True))
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    rep = select_representatives(cc, conv, policy="first_id")
+    return rep.select("conv_id", "cluster_id", "is_representative")
+
+
+def q_min_size_filter(spark, sf_dir):
+    """F1: min-size predicate over assembled conversations."""
+    from dedup.assemble import assemble_conversations
+
+    cfg = DedupConfig(min_size=300)
+    return assemble_conversations(derive_transcripts(spark, sf_dir), cfg).select(
+        "conv_id", "total_chars"
+    )
+
+
+def q_tool_filter(spark, sf_dir):
+    """S2/S3: include/exclude tool filters composing (include minus exclude)."""
+    from dedup.assemble import assemble_conversations
+
+    cfg = DedupConfig(include_tools=("src1", "src2", "src3"), exclude_tools=("src2",))
+    return assemble_conversations(derive_transcripts(spark, sf_dir), cfg).select(
+        "conv_id", "n_turns", "total_chars"
+    )
+
+
+def q_turn_depth_bounds(spark, sf_dir):
+    """S4: turn_idx depth bounds (min 1, max 2)."""
+    from dedup.assemble import assemble_conversations
+
+    cfg = DedupConfig(min_turn_idx=1, max_turn_idx=2)
+    return assemble_conversations(derive_transcripts(spark, sf_dir), cfg).select(
+        "conv_id", "n_turns", "doc"
+    )
+
+
+def q_delete_rewrite(spark, sf_dir):
+    """S10: anti-join delete of non-representative duplicates; returns the
+    surviving turns count per conversation."""
+    from dedup.cc import connected_components
+    from dedup.exact import exact_pairs
+    from dedup.keep import apply_delete_rewrite, losers, select_representatives
+
+    turns = derive_transcripts(spark, sf_dir)
+    conv = _conversations(spark, sf_dir)
+    pairs = exact_pairs(conv, DedupConfig(strict=True))
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    rep = select_representatives(cc, conv, policy="first_id")
+    kept = apply_delete_rewrite(turns, losers(rep))
+    return kept.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: whitespace token counts + char counts per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Text analysis: length/punct/stopword quality signals per document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.length("text").cast("double")
+    no_punct = F.regexp_replace(F.col("text"), r"[.,!?;:]", "")
+    no_the = F.replace(F.col("text"), F.lit(" the "), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.round((n - F.length(no_punct)) / n, 6).alias("punct_ratio"),
+        F.round(
+            (n - F.length(no_the)) / F.lit(6.0) / F.size(F.split(F.col("text"), " ", -1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(n / F.size(F.split(F.col("text"), " ", -1)), 6).alias("avg_token_len"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """H6 analog: timestamp formatting + grouped aggregation on events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 neighbors for query
+    vectors (vec_id < 5) over the whole embeddings table."""
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    sims = (
+        q.crossJoin(emb)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot / (norm(F.col("qv")) * norm(F.col("v")))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
+def q_neardup_docs_minhash(spark, sf_dir):
+    """N3-N7 (rows-only check): MinHash/LSH near-dup conversation pairs on
+    derived transcripts — catches the planted _nd tail-truncated copies."""
+    from dedup.lsh import candidate_pairs
+    from dedup.minhash import with_minhash
+    from dedup.verify import verify_pairs
+
+    cfg = DedupConfig()
+    conv = _conversations(spark, sf_dir)
+    sigs = with_minhash(conv, cfg).select("conv_id", "minhash")
+    pairs, _ = candidate_pairs(sigs, cfg)
+    edges = verify_pairs(pairs, sigs, cfg)
+    return edges.select("conv_a", "conv_b", F.round("similarity", 4).alias("similarity"))
+
+
+def q_simhash_turn_pairs(spark, sf_dir):
+    """N8 (rows-only check): near-exact turn pairs across conversations."""
+    from dedup.simhash import simhash_turn_pairs, with_turn_simhash
+
+    turns = derive_transcripts(spark, sf_dir)
+    sh = with_turn_simhash(turns)
+    return simhash_turn_pairs(sh).select("conv_a", "turn_a", "conv_b", "turn_b", "hamming")
+
+
+def q_span_pairs(spark, sf_dir):
+    """N9 (rows-only check): long-shared-span pairs (min_span_len=150) —
+    catches the planted _sp re-wrapped copies."""
+    from dedup.suffix import span_candidate_pairs, verify_span_pairs
+
+    cfg = DedupConfig(min_span_len=150, span_anchor_mod=16)
+    conv = _conversations(spark, sf_dir)
+    cand, _ = span_candidate_pairs(conv, cfg)
+    return verify_span_pairs(cand, conv, cfg).select("conv_a", "conv_b", "span_len")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "assemble": q_assemble,
+        "exact_dup_clusters": q_exact_dup_clusters,
+        "prefix_dup_clusters": q_prefix_dup_clusters,
+        "block_candidates": q_block_candidates,
+        "keep_policy": q_keep_policy,
+        "min_size_filter": q_min_size_filter,
+        "tool_filter": q_tool_filter,
+        "turn_depth_bounds": q_turn_depth_bounds,
+        "delete_rewrite": q_delete_rewrite,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "events_hourly": q_events_hourly,
+        "ann_topk": q_ann_topk,
+        "neardup_minhash": q_neardup_docs_minhash,
+        "simhash_turn_pairs": q_simhash_turn_pairs,
+        "span_pairs": q_span_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — same column names, same values
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "assemble": _TC
+        + "SELECT conv_id, n_turns, total_chars, doc FROM conversations",
+        "exact_dup_clusters": _TC
+        + """
+        SELECT conv_id, group_hash FROM (
+            SELECT conv_id,
+                   md5(doc) AS group_hash,
+                   count(*) OVER (PARTITION BY n_turns, total_chars, md5(doc)) AS grp_n,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n
+            FROM conversations
+        ) WHERE blk_n > 1 AND grp_n > 1
+        """,
+        "prefix_dup_clusters": _TC
+        + """
+        SELECT conv_id, group_hash FROM (
+            SELECT conv_id,
+                   md5(substr(doc, 1, 64)) AS group_hash,
+                   count(*) OVER (PARTITION BY n_turns, total_chars,
+                                  md5(substr(doc, 1, 64))) AS grp_n,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n
+            FROM conversations
+        ) WHERE blk_n > 1 AND grp_n > 1
+        """,
+        "block_candidates": _TC
+        + """
+        SELECT conv_id, n_turns, total_chars FROM (
+            SELECT conv_id, n_turns, total_chars,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n
+            FROM conversations
+        ) WHERE blk_n > 1
+        """,
+        "keep_policy": _TC
+        + """
+        , dup AS (
+            SELECT conv_id, n_turns, total_chars, md5(doc) AS h,
+                   count(*) OVER (PARTITION BY n_turns, total_chars, md5(doc)) AS grp_n,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n
+            FROM conversations
+        )
+        SELECT conv_id,
+               min(conv_id) OVER (PARTITION BY n_turns, total_chars, h) AS cluster_id,
+               conv_id = min(conv_id) OVER (PARTITION BY n_turns, total_chars, h)
+                   AS is_representative
+        FROM dup WHERE blk_n > 1 AND grp_n > 1
+        """,
+        "min_size_filter": _TC
+        + "SELECT conv_id, total_chars FROM conversations WHERE total_chars >= 300",
+        "tool_filter": _T
+        + """
+        SELECT conv_id,
+               cast(count(*) AS int) AS n_turns,
+               cast(sum(length(text)) AS bigint) AS total_chars
+        FROM transcripts
+        WHERE tool IN ('src1','src2','src3') AND coalesce(tool,'') NOT IN ('src2')
+        GROUP BY conv_id HAVING sum(length(text)) >= 1
+        """,
+        "turn_depth_bounds": _T
+        + """
+        SELECT conv_id,
+               cast(count(*) AS int) AS n_turns,
+               string_agg(text, chr(30) ORDER BY turn_idx) AS doc
+        FROM transcripts
+        WHERE turn_idx BETWEEN 1 AND 2
+        GROUP BY conv_id HAVING sum(length(text)) >= 1
+        """,
+        "delete_rewrite": _TC
+        + """
+        , dup AS (
+            SELECT conv_id, n_turns, total_chars, md5(doc) AS h,
+                   count(*) OVER (PARTITION BY n_turns, total_chars, md5(doc)) AS grp_n,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n
+            FROM conversations
+        ),
+        losers AS (
+            SELECT conv_id FROM (
+                SELECT conv_id,
+                       min(conv_id) OVER (PARTITION BY n_turns, total_chars, h)
+                           AS cluster_id
+                FROM dup WHERE blk_n > 1 AND grp_n > 1
+            ) WHERE conv_id != cluster_id
+        )
+        SELECT t.conv_id, cast(count(*) AS bigint) AS n_turns
+        FROM transcripts t ANTI JOIN losers l ON t.conv_id = l.conv_id
+        GROUP BY t.conv_id
+        """,
+        "token_stats": """
+        SELECT doc_id,
+               cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+               cast(length(text) AS bigint) AS n_chars
+        FROM documents
+        """,
+        "quality_scores": """
+        SELECT doc_id,
+               round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / cast(length(text) AS double), 6) AS punct_ratio,
+               round((length(text) - length(replace(text, ' the ', ''))) / 6.0
+                     / len(string_split(text, ' ')), 6) AS stopword_ratio,
+               round(length(text) / cast(len(string_split(text, ' ')) AS double), 6)
+                   AS avg_token_len
+        FROM documents
+        """,
+        "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type,
+               cast(count(*) AS bigint) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        """,
+        "ann_topk": """
+        WITH emb AS (
+            SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+        ),
+        sims AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.v, e.v) AS sim
+            FROM emb q, emb e
+            WHERE q.vec_id < 5 AND q.vec_id != e.vec_id
+        )
+        SELECT query_id, neighbor_id, round(sim, 6) AS sim, cast(rank AS bigint) AS rank
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+        ) WHERE rank <= 10
+        """,
+        # neardup_minhash / simhash_turn_pairs / span_pairs: no SQL oracle —
+        # MinHash/SimHash/rolling-hash signatures are not SQL-expressible;
+        # driver records the weaker rows-only check.
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline dedup queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+- ``pipeline_synth``: the full near-dup pipeline (exact + MinHash/LSH +
+  SimHash + span → verify → CC → keep) over a deterministic synthetic
+  transcript corpus scaled to the SF — the throughput (turns/sec) headline;
+- ``pipeline_testdata``: same pipeline over transcripts derived from the
+  driver's documents table;
+- component micro-benches: signatures, LSH pairs, exact tier, ANN top-k.
+
+The synthetic corpus parquet is cached under /tmp keyed by (sf, seed) so
+repeated runs — and the local[8]-vs-local[32] scaling experiment
+(tools/scaling_bench.py) — share byte-identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+SEED = 42
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def synth_corpus_path(sf: float) -> str:
+    """Generate (once) and cache the synthetic transcript corpus for this SF."""
+    n_convs = max(200, int(120_000 * sf))
+    path = f"/tmp/dedup_bench_corpus_sf{sf}_s{SEED}_n{n_convs}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from dedup.synth import write_corpus
+
+        os.makedirs(path, exist_ok=True)
+        write_corpus(path, n_convs=n_convs, seed=SEED)
+        open(marker, "w").close()
+    return path
+
+
+def _noop_write(df) -> int:
+    """Materialize a DataFrame fully without sink overhead; returns rows."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dedup.config import DedupConfig
+    from dedup.pipeline import DedupPipeline
+    from dedup.session import get_spark
+
+    sf = sf_of(SF_DIR)
+    corpus_path = synth_corpus_path(sf)
+
+    spark = get_spark(
+        app_name=f"dedup-bench-{CPUS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS) if str(CPUS).isdigit() else None,
+    )
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- headline: full pipeline on synthetic transcripts ---------------
+    turns = spark.read.parquet(f"{corpus_path}/transcripts.parquet")
+    n_turns = turns.count()
+    t0 = time.monotonic()
+    result = DedupPipeline(spark, DedupConfig()).run(turns)
+    _noop_write(result.clusters)
+    timings["pipeline_synth"] = round(time.monotonic() - t0, 3)
+    extras["synth_turns"] = n_turns
+    extras["throughput_turns_per_sec"] = round(n_turns / timings["pipeline_synth"], 1)
+
+    # --- pipeline on driver-testdata-derived transcripts ----------------
+    from dedup.driver_tables import derive_transcripts
+
+    t0 = time.monotonic()
+    dturns = derive_transcripts(spark, SF_DIR)
+    dres = DedupPipeline(spark, DedupConfig(min_span_len=150)).run(dturns)
+    _noop_write(dres.clusters)
+    timings["pipeline_testdata"] = round(time.monotonic() - t0, 3)
+
+    # --- component benches ----------------------------------------------
+    from dedup.assemble import assemble_conversations
+    from dedup.exact import exact_clusters
+    from dedup.lsh import candidate_pairs
+    from dedup.minhash import with_minhash
+
+    conv = assemble_conversations(turns).localCheckpoint()
+
+    t0 = time.monotonic()
+    sigs = with_minhash(conv).select("conv_id", "minhash").localCheckpoint()
+    timings["minhash_signatures"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    pairs, _ = candidate_pairs(sigs)
+    _noop_write(pairs)
+    timings["lsh_pairs"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _noop_write(exact_clusters(conv, DedupConfig(strict=True)))
+    timings["exact_tier"] = round(time.monotonic() - t0, 3)
+
+    import __spark_entry__ as entrymod
+
+    t0 = time.monotonic()
+    _noop_write(entrymod.q_ann_topk(spark, SF_DIR))
+    timings["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Connected components via iterative DataFrame min-label propagation (N7).
+
+Replaces the reference's transitive grouping-by-hashmap-key
+(reference: /root/reference/src/server.rs:18 — a DashMap keyed by exact hash
+IS the connected components of an equality graph). Near-dup similarity is not
+transitive, so the verified-edge graph needs real CC.
+
+Algorithm: every node starts labeled with its own conv_id; each round every
+node takes the min of its label and its neighbors' labels; converged when no
+label changes. Duplicate clusters are near-cliques (LSH buckets emit dense
+edges, mega-buckets emit stars), so the effective diameter is tiny and this
+converges in a handful of rounds; ``cc_max_iters`` bounds pathological
+chains. ``localCheckpoint`` after every round truncates the lineage so the
+plan doesn't grow exponentially (the classic iterative-DataFrame trap).
+
+Returns (conv_id, cluster_id) where cluster_id = min conv_id in the
+component — deterministic, unlike the reference's random-seeded hash keys
+and nondeterministic DashMap iteration order (src/formatter.rs:45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 25, log=None
+) -> DataFrame:
+    """edges(conv_a, conv_b) → labels(conv_id, cluster_id)."""
+    edges = edges.select("conv_a", "conv_b").dropDuplicates()
+    # symmetric adjacency: one DataFrame, both directions
+    sym = edges.unionByName(
+        edges.select(
+            F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b")
+        )
+    ).localCheckpoint()
+
+    labels = (
+        sym.select(F.col("conv_a").alias("conv_id"))
+        .distinct()
+        .withColumn("label", F.col("conv_id"))
+        .localCheckpoint()
+    )
+
+    for it in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["conv_b"] == labels["conv_id"])
+            .groupBy("conv_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["conv_id"] == nbr_min["conv_a"], "left")
+            .select(
+                "conv_id",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = stepped.where(F.col("old_label") != F.col("label")).count()
+        labels = stepped.drop("old_label")
+        if log:
+            log(f"cc iter {it}: {changed} labels changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iters} iters")
+
+    return labels.withColumnRenamed("label", "cluster_id")

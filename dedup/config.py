@@ -42,8 +42,11 @@ class DedupConfig:
     shingle_k: int = 9
     #: MinHash permutations; must equal lsh_bands * lsh_rows.
     num_perm: int = 128
-    lsh_bands: int = 16
-    lsh_rows: int = 8
+    #: 32 bands × 4 rows: S-curve midpoint (1/32)^(1/4) ≈ 0.42, i.e. pairs at
+    #: the 0.7 verification threshold are caught with p ≈ 0.9998 — recall is
+    #: bought at candidate-generation time and precision restored by verify.
+    lsh_bands: int = 32
+    lsh_rows: int = 4
     #: Jaccard threshold a verified candidate pair must meet.
     jaccard_threshold: float = 0.7
     #: verify candidates with exact shingle Jaccard (pandas UDF) instead of

@@ -1,0 +1,70 @@
+"""Keep policy + delete rewrite (operators N10 + S10).
+
+The reference delegates the keep/delete choice to an interactive human
+(reference: /root/reference/src/interactive.rs:70-105); its bulk policies
+(--keep-oldest etc.) are unimplemented TODOs (reference: README.md:173-177).
+A corpus pipeline has no TTY, so the policy is declarative: deterministic
+row_number over each cluster.
+
+The delete itself is the Iceberg row-level DELETE in production; the
+sandbox-portable equivalent implemented here is the anti-join rewrite
+(reference analog: the fs::remove_file loop, src/interactive.rs:125-135).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: policy name → orderBy columns (all deterministic, conv_id tie-break)
+POLICIES = {
+    "oldest": lambda: [F.col("first_ts").asc_nulls_last(), F.col("conv_id").asc()],
+    "newest": lambda: [F.col("first_ts").desc_nulls_last(), F.col("conv_id").asc()],
+    "longest": lambda: [F.col("total_chars").desc(), F.col("conv_id").asc()],
+    "first_id": lambda: [F.col("conv_id").asc()],
+}
+
+
+def select_representatives(
+    clusters: DataFrame, conversations: DataFrame, policy: str = "oldest"
+) -> DataFrame:
+    """clusters(conv_id, cluster_id) × conversations → + is_representative.
+
+    Representative = row_number 1 under the policy order within the cluster
+    (FIXTURES.md ``keep_policy``: oldest first_ts, tie-broken by conv_id).
+    """
+    if policy not in POLICIES:
+        raise ValueError(f"unknown keep policy {policy!r}; one of {sorted(POLICIES)}")
+    meta = conversations.select("conv_id", "first_ts", "total_chars")
+    w = Window.partitionBy("cluster_id").orderBy(*POLICIES[policy]())
+    return (
+        clusters.join(meta, "conv_id", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_representative", F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def losers(clusters_with_rep: DataFrame) -> DataFrame:
+    """Non-representative members — the delete set."""
+    return clusters_with_rep.where(~F.col("is_representative")).select("conv_id")
+
+
+def apply_delete_rewrite(turns: DataFrame, losers_df: DataFrame) -> DataFrame:
+    """Anti-join rewrite of the turns table: drop every turn of every loser
+    conversation. On Iceberg this is `DELETE FROM transcripts WHERE conv_id
+    IN (SELECT ...)`; the anti-join expresses the same rows and lets Spark
+    broadcast the loser set when small."""
+    return turns.join(losers_df, "conv_id", "left_anti")
+
+
+def duplicate_report(clusters_with_rep: DataFrame) -> DataFrame:
+    """Deterministically ordered duplicate report (operator S9).
+
+    The reference prints in nondeterministic DashMap/par_iter order
+    (reference: /root/reference/src/formatter.rs:45); we impose
+    ORDER BY cluster_id, conv_id precisely because it cannot.
+    """
+    return clusters_with_rep.select(
+        "cluster_id", "conv_id", "is_representative", "first_ts", "total_chars"
+    ).orderBy("cluster_id", "conv_id")

@@ -1,0 +1,200 @@
+"""End-to-end pipeline orchestration with checkpoint/resume (operator N11).
+
+Generalizes the reference's per-record ``FileState::SwProcessed`` marker
+(reference: /root/reference/src/fileinfo.rs:12-16) into per-STAGE idempotent
+table writes: each stage materializes to ``<run_dir>/<stage>`` (Iceberg in
+production, parquet here — same read/write API via io helpers), records a
+lineage row, and a re-run loads any stage whose _SUCCESS marker exists
+instead of recomputing it. Killing the job after stage k and re-running
+yields byte-identical clusters (resume test).
+
+Metrics are first-class (north rule): every stage logs row counts; the LSH
+and anchor overflow paths log how many mega-buckets were demoted to star
+edges — no silent caps anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup.assemble import assemble_conversations
+from dedup.cc import connected_components
+from dedup.config import DedupConfig
+from dedup.exact import exact_pairs
+from dedup.keep import select_representatives
+from dedup.lsh import candidate_pairs
+from dedup.minhash import with_minhash
+from dedup.simhash import simhash_conv_pairs, with_turn_simhash
+from dedup.suffix import span_candidate_pairs, verify_span_pairs
+from dedup.verify import verify_pairs
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    seconds: float
+    resumed: bool
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    stages: list[StageResult] = field(default_factory=list)
+    metrics: dict = field(default_factory=dict)
+
+
+class DedupPipeline:
+    """Orchestrates assemble → fingerprint tiers → pairs → verify → CC →
+    keep-policy. ``run_dir=None`` runs fully lazy/in-memory (tests);
+    a run_dir enables checkpoint/resume + lineage."""
+
+    #: stage names in execution order
+    STAGES = ("conversations", "signatures", "pairs", "edges", "clusters")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: DedupConfig | None = None,
+        run_dir: str | None = None,
+        enable_simhash: bool = True,
+        enable_span: bool = True,
+        keep_policy: str = "oldest",
+        log=None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.run_dir = run_dir
+        self.enable_simhash = enable_simhash
+        self.enable_span = enable_span
+        self.keep_policy = keep_policy
+        self.log = log or (lambda msg: None)
+        self._lineage: list[dict] = []
+
+    # ---- checkpoint plumbing -------------------------------------------
+
+    def _path(self, stage: str) -> str | None:
+        return os.path.join(self.run_dir, stage) if self.run_dir else None
+
+    def _done(self, stage: str) -> bool:
+        p = self._path(stage)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def _materialize(self, stage: str, df: DataFrame) -> DataFrame:
+        """Write-then-read a stage (checkpoint) or localCheckpoint in-memory.
+
+        The write is the lineage cut AND the resume point; reading back means
+        downstream stages consume the exact persisted bytes, so resume is
+        byte-identical by construction.
+        """
+        t0 = time.monotonic()
+        p = self._path(stage)
+        if self._done(stage):
+            out = self.spark.read.parquet(p)
+            n = out.count()
+            self._record(stage, n, time.monotonic() - t0, resumed=True)
+            return out
+        if p:
+            df.write.mode("overwrite").parquet(p)
+            out = self.spark.read.parquet(p)
+        else:
+            out = df.localCheckpoint()
+        n = out.count()
+        self._record(stage, n, time.monotonic() - t0, resumed=False)
+        return out
+
+    def _record(self, stage: str, rows: int, seconds: float, resumed: bool):
+        entry = {
+            "stage": stage,
+            "rows": rows,
+            "seconds": round(seconds, 3),
+            "resumed": resumed,
+            "n_partitions": self.spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        self._lineage.append(entry)
+        self.log(f"stage {stage}: rows={rows} sec={seconds:.2f} resumed={resumed}")
+        if self.run_dir:
+            os.makedirs(self.run_dir, exist_ok=True)
+            with open(os.path.join(self.run_dir, "lineage.jsonl"), "a") as f:
+                f.write(json.dumps(entry) + "\n")
+
+    # ---- stages ---------------------------------------------------------
+
+    def run(self, turns: DataFrame) -> PipelineResult:
+        cfg = self.cfg
+        metrics: dict = {}
+
+        conv = self._materialize("conversations", assemble_conversations(turns, cfg))
+
+        sigs = self._materialize(
+            "signatures", with_minhash(conv, cfg).select("conv_id", "minhash")
+        )
+
+        # candidate pairs from every tier, one union
+        lsh_pairs, lsh_overflow = candidate_pairs(sigs, cfg)
+        pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
+        if self.enable_simhash:
+            turns_f = turns
+            pred = None
+            from dedup.assemble import turn_filters
+
+            pred = turn_filters(cfg)
+            if pred is not None:
+                turns_f = turns_f.where(pred)
+            pair_dfs.append(simhash_conv_pairs(with_turn_simhash(turns_f, cfg), cfg))
+        if self.enable_span:
+            span_cand, span_overflow = span_candidate_pairs(conv, cfg)
+            pair_dfs.append(verify_span_pairs(span_cand, conv, cfg).drop("span_len"))
+        all_pairs = pair_dfs[0]
+        for p in pair_dfs[1:]:
+            all_pairs = all_pairs.unionByName(p)
+        # One row per undirected pair, keeping the STRONGEST source: exact,
+        # span and simhash pairs are pre-verified by their tier and bypass
+        # the Jaccard re-check in verify_pairs, so a pair also found by LSH
+        # must not be demoted to 'lsh' (Jaccard could wrongly reject it).
+        prio = (
+            F.when(F.col("source") == "exact", 0)
+            .when(F.col("source") == "span", 1)
+            .when(F.col("source") == "simhash", 2)
+            .otherwise(3)
+        )
+        names = F.array(F.lit("exact"), F.lit("span"), F.lit("simhash"), F.lit("lsh"))
+        all_pairs = (
+            all_pairs.withColumn("_prio", prio)
+            .groupBy("conv_a", "conv_b")
+            .agg(F.min("_prio").alias("_prio"))
+            .withColumn("source", F.element_at(names, F.col("_prio") + 1))
+            .drop("_prio")
+        )
+        pairs = self._materialize("pairs", all_pairs)
+        metrics["lsh_overflow_buckets"] = lsh_overflow.count()
+        if self.enable_span:
+            metrics["span_overflow_anchors"] = span_overflow.count()
+
+        edges = self._materialize(
+            "edges", verify_pairs(pairs, sigs, cfg, conversations=conv)
+        )
+
+        if self._done("clusters"):
+            clusters = self._materialize("clusters", None)  # loads from disk
+        else:
+            cc = connected_components(
+                edges.select("conv_a", "conv_b"), cfg.cc_max_iters, log=self.log
+            )
+            clusters = self._materialize(
+                "clusters",
+                select_representatives(
+                    cc.withColumnRenamed("conv_id", "conv_id"), conv, self.keep_policy
+                ),
+            )
+
+        metrics["stages"] = self._lineage
+        return PipelineResult(clusters=clusters, stages=[
+            StageResult(e["stage"], e["rows"], e["seconds"], e["resumed"]) for e in self._lineage
+        ], metrics=metrics)

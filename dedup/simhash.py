@@ -1,0 +1,165 @@
+"""Per-turn SimHash for near-exact turn matching (operator N8).
+
+Catches what MinHash-over-whole-conversations can miss: two conversations
+sharing individual turns that are byte-near-identical (whitespace/punctuation
+variants — FIXTURES.md ``near_exact_turn``). This is the per-page analog of
+the reference's per-file prefix hash (reference: /root/reference/src/
+fileinfo.rs:42-48): a cheap fixed-width fingerprint whose equality implies
+near-equality of content.
+
+Dataflow (everything but the signature UDF is JVM-side):
+1. normalize turn text hard (lowercase, strip punctuation) — so pure
+   whitespace/punct variants hash IDENTICALLY;
+2. 64-bit SimHash per turn in one Arrow-batched pandas UDF (numpy bit-count
+   over shingle hashes);
+3. split each simhash into 4 × 16-bit chunks; by pigeonhole, two hashes
+   within Hamming distance 3 share at least one exact chunk → self-join on
+   (chunk_id, chunk_value) finds all such pairs without O(n²) compare;
+4. verify Hamming ≤ ``simhash_hamming`` via xor + bit_count (codegen'd);
+5. lift turn pairs to conversation pairs: conversations sharing a fraction
+   ≥ ``min_shared_turn_frac`` of their turns become candidate pairs for the
+   shared verify+CC stage (a single shared boilerplate turn must NOT merge
+   two unrelated conversations — the downstream verifier re-checks anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dedup.config import DedupConfig
+from dedup.minhash import _perm_salts, shingle_hashes
+
+
+def py_simhash(text: str, k: int = 4, seed: int = 42) -> int:
+    """64-bit SimHash over char-k-gram shingles of hard-normalized text."""
+    import re
+
+    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    h = shingle_hashes(norm, k)
+    # bit matrix (n_shingles × 64) → column majority vote
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0)
+    fp = np.uint64(0)
+    majority = h.size / 2.0
+    for i in range(64):
+        if votes[i] > majority:
+            fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))  # two's-complement into Spark LongType
+
+
+def make_simhash_udf(cfg: DedupConfig):
+    k = 4
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        import re
+
+        out = np.empty(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+        for i, t in enumerate(texts):
+            norm = re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
+            h = shingle_hashes(norm, k)
+            bits = (h[:, None] >> bit_idx) & np.uint64(1)
+            votes = bits.sum(axis=0)
+            fp = np.where(votes > h.size / 2.0, np.uint64(1), np.uint64(0))
+            out[i] = int((fp << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+        return pd.Series(out)
+
+    return simhash_udf
+
+
+def with_turn_simhash(turns: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    cfg = cfg or DedupConfig()
+    udf = make_simhash_udf(cfg)
+    return turns.withColumn("simhash", udf(F.col("text")))
+
+
+def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """(conv_id, turn_idx, simhash) → turn-level near-exact pairs.
+
+    Returns (conv_a, turn_a, conv_b, turn_b, hamming). Chunk join blocks the
+    O(n²) compare; empty-text turns are excluded (simhash 0 would mega-bucket,
+    the same skew concern as LSH mega-bands).
+    """
+    cfg = cfg or DedupConfig()
+    t = turns_sh.where(F.length(F.coalesce("text", F.lit(""))) > 0).select(
+        "conv_id", "turn_idx", "simhash"
+    )
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk_val"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+    banded = t.select("conv_id", "turn_idx", "simhash", chunks.alias("c")).select(
+        "conv_id", "turn_idx", "simhash", "c.chunk_id", "c.chunk_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(
+            (F.col("a.conv_id") < F.col("b.conv_id"))
+            | (
+                (F.col("a.conv_id") == F.col("b.conv_id"))
+                & (F.col("a.turn_idx") < F.col("b.turn_idx"))
+            )
+        )
+        .where(F.col("a.conv_id") != F.col("b.conv_id"))  # cross-conv only
+        .select(
+            F.col("a.conv_id").alias("conv_a"),
+            F.col("a.turn_idx").alias("turn_a"),
+            F.col("b.conv_id").alias("conv_b"),
+            F.col("b.turn_idx").alias("turn_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
+        .dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
+    )
+    return pairs
+
+
+def simhash_conv_pairs(
+    turns_sh: DataFrame,
+    cfg: DedupConfig | None = None,
+    min_shared_turn_frac: float = 0.8,
+) -> DataFrame:
+    """Lift turn pairs to conversation candidate pairs (source='simhash').
+
+    A pair qualifies when matched turns cover ≥ min_shared_turn_frac of the
+    SMALLER conversation's turns — boilerplate single-turn overlap stays out.
+    """
+    cfg = cfg or DedupConfig()
+    tp = simhash_turn_pairs(turns_sh, cfg)
+    n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    # distinct matched turns per side, then coverage vs the smaller side
+    per_pair = tp.groupBy("conv_a", "conv_b").agg(
+        F.countDistinct("turn_a").alias("m_a"),
+        F.countDistinct("turn_b").alias("m_b"),
+    )
+    out = (
+        per_pair.join(
+            n_turns.withColumnsRenamed({"conv_id": "conv_a", "n_turns": "n_a"}), "conv_a"
+        )
+        .join(n_turns.withColumnsRenamed({"conv_id": "conv_b", "n_turns": "n_b"}), "conv_b")
+        .where(
+            F.greatest(
+                F.col("m_a") / F.col("n_a"), F.col("m_b") / F.col("n_b")
+            )
+            >= F.lit(min_shared_turn_frac)
+        )
+        .select("conv_a", "conv_b", F.lit("simhash").alias("source"))
+    )
+    return out

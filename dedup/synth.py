@@ -113,17 +113,19 @@ def make_corpus(
         rows.extend(_conv_rows(did, base_texts[cid], rng, ts_off=10_000_000))
         truth.append((min(cid, did), max(cid, did), "exact"))
 
-    # near duplicates: ~2% of words edited across a few turns (north rule).
+    # near duplicates: ~2% of the conversation's words edited (north rule).
+    # The budget is per conversation, not per turn — a per-turn floor would
+    # turn short conversations into ~10% edits, which is no longer "near".
     for cid in _pick(near_dup_rate):
         did = f"{cid}_nd"
-        texts = []
-        for txt in base_texts[cid]:
-            toks = txt.split(" ")
-            n_edit = max(1, int(0.02 * len(toks)))
-            idxs = rng.integers(0, len(toks), size=n_edit)
-            for j in idxs:
-                toks[j] = str(rng.choice(_WORDS))
-            texts.append(" ".join(toks))
+        flat = [t.split(" ") for t in base_texts[cid]]
+        n_words = sum(len(t) for t in flat)
+        n_edit = max(1, int(round(0.02 * n_words)))
+        flat_pos = [(ti, wi) for ti, t in enumerate(flat) for wi in range(len(t))]
+        for j in rng.choice(len(flat_pos), size=n_edit, replace=False):
+            ti, wi = flat_pos[j]
+            flat[ti][wi] = str(rng.choice(_WORDS))
+        texts = [" ".join(t) for t in flat]
         rows.extend(_conv_rows(did, texts, rng, ts_off=20_000_000))
         truth.append((min(cid, did), max(cid, did), "near"))
 
@@ -179,6 +181,8 @@ def corpus_to_spark(spark, corpus: Corpus):
 def write_corpus(path: str, n_convs: int, seed: int = 42, **kw) -> pd.DataFrame:
     """Materialize a corpus to parquet (bench input); returns truth pairs."""
     corpus = make_corpus(n_convs=n_convs, seed=seed, **kw)
-    corpus.turns.to_parquet(f"{path}/transcripts.parquet", index=False)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds.
+    turns = corpus.turns.assign(ts=corpus.turns["ts"].astype("datetime64[us]"))
+    turns.to_parquet(f"{path}/transcripts.parquet", index=False)
     corpus.truth_pairs.to_parquet(f"{path}/truth_pairs.parquet", index=False)
     return corpus.truth_pairs
