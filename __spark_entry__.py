@@ -263,6 +263,61 @@ def q_span_pairs(spark, sf_dir):
     return verify_span_pairs(cand, conv, cfg).select("conv_a", "conv_b", "span_len")
 
 
+def q_text_analysis(spark, sf_dir):
+    """Language-ID heuristic + BPE-ish token estimate per document."""
+    from dedup.textfns import bpe_ish_token_count, lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold 0.45 — the synthetic
+    embeddings top out at cosine 0.51; real corpora would use ~0.95)."""
+    from dedup.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_neardup_pairs(emb, threshold=0.45)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-table hyperplane-LSH approximate top-5 (rows-only: the bucketed
+    candidate set is probabilistic by design, no SQL oracle)."""
+    from dedup.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return lsh_topk(emb, k=5).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowing-style document fingerprints (rows-only; rolling-hash minima
+    are not SQL-expressible)."""
+    from dedup.textfns import make_fingerprint_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    udf = make_fingerprint_udf(w=16, n_keep=8)
+    return docs.select("doc_id", F.explode(udf(F.col("text"))).alias("fp_hash"))
+
+
+def q_media_dedup(spark, sf_dir):
+    """Multimodal plumbing: decode-stub features + exact-dup grouping over a
+    deterministic synthetic media table (rows-only; binary UDF pipeline)."""
+    from dedup.multimodal import decode_media, media_exact_dups, synth_media
+
+    media = synth_media(spark, n=64)
+    return media_exact_dups(decode_media(media)).orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "assemble": q_assemble,
@@ -281,6 +336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash": q_neardup_docs_minhash,
         "simhash_turn_pairs": q_simhash_turn_pairs,
         "span_pairs": q_span_pairs,
+        "text_analysis": q_text_analysis,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "doc_fingerprints": q_doc_fingerprints,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -417,7 +477,46 @@ def oracle_sql() -> dict[str, str]:
             FROM sims
         ) WHERE rank <= 10
         """,
-        # neardup_minhash / simhash_turn_pairs / span_pairs: no SQL oracle —
-        # MinHash/SimHash/rolling-hash signatures are not SQL-expressible;
-        # driver records the weaker rows-only check.
+        "text_analysis": """
+        WITH scored AS (
+            SELECT doc_id, text,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['the','and','of','to','is'], x)))
+                       / cast(len(string_split(text, ' ')) AS double) AS s_en,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['el','la','de','que','los'], x)))
+                       / cast(len(string_split(text, ' ')) AS double) AS s_es,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['der','die','und','das','nicht'], x)))
+                       / cast(len(string_split(text, ' ')) AS double) AS s_de,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> list_contains(['le','la','et','les','des'], x)))
+                       / cast(len(string_split(text, ' ')) AS double) AS s_fr
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en,s_es,s_de,s_fr) = 0 THEN 'und'
+                    -- descending lang-name order mirrors Spark's struct max
+                    WHEN s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+                    ELSE 'de' END AS lang_pred,
+               cast(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bigint) AS n_bpe_tokens
+        FROM scored
+        """,
+        "embedding_neardup": """
+        WITH emb AS (
+            SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        FROM emb a, emb b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        """,
+        # neardup_minhash / simhash_turn_pairs / span_pairs / ann_lsh_topk /
+        # doc_fingerprints / media_dedup: no SQL oracle — MinHash/SimHash/
+        # rolling-hash/hyperplane-LSH signatures and binary UDF pipelines are
+        # not SQL-expressible; driver records the weaker rows-only check.
     }

@@ -39,7 +39,9 @@ def sf_of(sf_dir: str) -> float:
 
 def synth_corpus_path(sf: float) -> str:
     """Generate (once) and cache the synthetic transcript corpus for this SF."""
-    n_convs = max(200, int(120_000 * sf))
+    # sized so the pipeline is compute-dominated (not driver/job-latency
+    # dominated) — required for honest two-parallelism scaling numbers
+    n_convs = max(200, int(400_000 * sf))
     path = f"/tmp/dedup_bench_corpus_sf{sf}_s{SEED}_n{n_convs}"
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):

@@ -46,10 +46,14 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataF
 
 
 def candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig | None = None
+    signatures: DataFrame, cfg: DedupConfig | None = None, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (conv_a < conv_b, source='lsh') plus a one-row-per
     overflowed-bucket metrics DataFrame (band_id, band_hash, bucket_n).
+
+    ``materialize`` checkpoints the sized bucket table so the pair join and
+    the overflow metric read it once instead of re-running the signature
+    lineage per consumer (the pair join alone reads it twice).
     """
     cfg = cfg or DedupConfig()
     buckets = band_buckets(signatures, cfg)
@@ -58,6 +62,8 @@ def candidate_pairs(
     sized = buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w)).where(
         F.col("bucket_n") > 1  # singleton buckets can't produce pairs (≈ F3)
     )
+    if materialize:
+        sized = sized.localCheckpoint()
 
     small = sized.where(F.col("bucket_n") <= cfg.band_bucket_cap)
     big = sized.where(F.col("bucket_n") > cfg.band_bucket_cap)

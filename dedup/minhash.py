@@ -86,6 +86,86 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         return np.unique(_mix64(h))
 
 
+def batch_window_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mixed uint64 k-byte-window hashes for a WHOLE batch of texts in one
+    vectorized pass: all bytes are concatenated, one sliding-window matmul
+    computes every window hash, and windows crossing document boundaries are
+    dropped with a ragged-range index. Texts shorter than k contribute one
+    whole-text hash (same convention as shingle_hashes).
+
+    Returns (H, starts, counts): doc i's window hashes (multiset, NOT
+    deduped — MinHash's min and SimHash's votes are defined on multisets)
+    are H[starts[i] : starts[i]+counts[i]].
+    """
+    bufs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    n_docs = len(bufs)
+    counts = np.where(lens >= k, lens - k + 1, 1)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs:
+        np.cumsum(counts[:-1], out=starts[1:])
+    H = np.empty(int(counts.sum()), dtype=np.uint64)
+
+    with np.errstate(over="ignore"):
+        long_mask = lens >= k
+        if long_mask.any():
+            arr = (
+                np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+                if lens.sum()
+                else np.zeros(0, np.uint64)
+            )
+            offs = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            win = np.lib.stride_tricks.sliding_window_view(arr, k)
+            h_all = win @ _roll_weights(k)
+
+            lcounts = counts[long_mask]
+            total_long = int(lcounts.sum())
+            csum = np.zeros(lcounts.size, dtype=np.int64)
+            np.cumsum(lcounts[:-1], out=csum[1:])
+            base = np.arange(total_long, dtype=np.int64)
+            src = base + np.repeat(offs[long_mask] - csum, lcounts)
+            dst = base + np.repeat(starts[long_mask] - csum, lcounts)
+            H[dst] = _mix64(h_all[src])
+
+        # short docs: per-doc whole-text hash (rare path)
+        for i in np.nonzero(~long_mask)[0]:
+            b = bufs[i]
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            if a.size == 0:
+                a = np.zeros(1, dtype=np.uint64)
+            h = (a * _roll_weights(int(a.size))).sum(dtype=np.uint64)
+            H[starts[i]] = _mix64(np.array([h], dtype=np.uint64))[0]
+    return H, starts, counts
+
+
+def batch_minhash(texts: list[str], k: int, num_perm: int, seed: int) -> np.ndarray:
+    """(n_docs × num_perm) int32 signatures for a batch, fully vectorized:
+    per salt chunk, mix the whole batch's window hashes once and segment-min
+    with np.minimum.reduceat. Identical output to minhash_signature(
+    shingle_hashes(text)) — min over a multiset equals min over its set."""
+    H, starts, _counts = batch_window_hashes(texts, k)
+    n_docs = starts.size
+    salts = _perm_salts(num_perm, seed)
+    out = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return out.astype(np.int32)
+    # one 1D pass per permutation, mixing IN PLACE into a reused buffer:
+    # peak extra memory = one H-sized uint64 array per task regardless of
+    # num_perm (2D chunking allocates ~6 temps per mix and thrashes when
+    # many executor threads run concurrently).
+    v = np.empty_like(H)
+    t = np.empty_like(H)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            np.bitwise_xor(H, salts[p], out=v)
+            np.right_shift(v, np.uint64(30), out=t); v ^= t; v *= _SM1
+            np.right_shift(v, np.uint64(27), out=t); v ^= t; v *= _SM2
+            np.right_shift(v, np.uint64(31), out=t); v ^= t
+            out[:, p] = np.minimum.reduceat(v, starts)
+    return (out & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+
+
 def minhash_signature(shingles_u64: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
     """num_perm-wide MinHash signature (int32) of a shingle set.
 
@@ -124,11 +204,10 @@ def make_minhash_udf(cfg: DedupConfig):
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def minhash_udf(docs: pd.Series) -> pd.Series:
-        out = []
-        for doc in docs:
-            sh = shingle_hashes(doc if doc is not None else "", k)
-            out.append(minhash_signature(sh, num_perm, seed))
-        return pd.Series(out)
+        sigs = batch_minhash(
+            [d if d is not None else "" for d in docs], k, num_perm, seed
+        )
+        return pd.Series(list(sigs))
 
     return minhash_udf
 

@@ -140,14 +140,19 @@ class DedupPipeline:
         lsh_pairs, lsh_overflow = candidate_pairs(sigs, cfg)
         pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
         if self.enable_simhash:
-            turns_f = turns
-            pred = None
             from dedup.assemble import turn_filters
 
+            turns_f = turns
             pred = turn_filters(cfg)
             if pred is not None:
                 turns_f = turns_f.where(pred)
-            pair_dfs.append(simhash_conv_pairs(with_turn_simhash(turns_f, cfg), cfg))
+            # materialize the per-turn simhash table: the chunk self-join
+            # reads it from BOTH sides, and without a checkpoint the UDF
+            # would be recomputed once per side per downstream action
+            sh = with_turn_simhash(turns_f, cfg).select(
+                "conv_id", "turn_idx", "text", "simhash"
+            ).localCheckpoint()
+            pair_dfs.append(simhash_conv_pairs(sh, cfg))
         if self.enable_span:
             span_cand, span_overflow = span_candidate_pairs(conv, cfg)
             pair_dfs.append(verify_span_pairs(span_cand, conv, cfg).drop("span_len"))

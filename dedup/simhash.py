@@ -31,24 +31,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dedup.config import DedupConfig
-from dedup.minhash import _perm_salts, shingle_hashes
+
+
+def _hard_normalize(text: str) -> str:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+
+
+def batch_simhash(texts: list[str], k: int = 4) -> np.ndarray:
+    """int64 SimHash fingerprints for a batch, fully vectorized: one
+    window-hash pass for the whole batch (batch_window_hashes), then 64
+    per-bit segment sums via np.add.reduceat. Votes are over the shingle
+    MULTISET (frequency-weighted SimHash)."""
+    from dedup.minhash import batch_window_hashes
+
+    H, starts, counts = batch_window_hashes([_hard_normalize(t or "") for t in texts], k)
+    n_docs = starts.size
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return fp.astype(np.int64)
+    half = counts / 2.0
+    for b in range(64):
+        col = ((H >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        votes = np.add.reduceat(col, starts)
+        fp |= (votes > half).astype(np.uint64) << np.uint64(b)
+    return fp.astype(np.int64)  # two's-complement into Spark LongType
 
 
 def py_simhash(text: str, k: int = 4, seed: int = 42) -> int:
-    """64-bit SimHash over char-k-gram shingles of hard-normalized text."""
-    import re
-
-    norm = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
-    h = shingle_hashes(norm, k)
-    # bit matrix (n_shingles × 64) → column majority vote
-    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = bits.sum(axis=0)
-    fp = np.uint64(0)
-    majority = h.size / 2.0
-    for i in range(64):
-        if votes[i] > majority:
-            fp |= np.uint64(1) << np.uint64(i)
-    return int(fp.astype(np.int64))  # two's-complement into Spark LongType
+    """64-bit SimHash over char-k-gram shingle multiset of hard-normalized
+    text (reference single-doc implementation; oracle for the batched UDF)."""
+    return int(batch_simhash([text], k)[0])
 
 
 def make_simhash_udf(cfg: DedupConfig):
@@ -56,18 +70,7 @@ def make_simhash_udf(cfg: DedupConfig):
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        import re
-
-        out = np.empty(len(texts), dtype=np.int64)
-        bit_idx = np.arange(64, dtype=np.uint64)[None, :]
-        for i, t in enumerate(texts):
-            norm = re.sub(r"[^a-z0-9]+", " ", (t or "").lower()).strip()
-            h = shingle_hashes(norm, k)
-            bits = (h[:, None] >> bit_idx) & np.uint64(1)
-            votes = bits.sum(axis=0)
-            fp = np.where(votes > h.size / 2.0, np.uint64(1), np.uint64(0))
-            out[i] = int((fp << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
-        return pd.Series(out)
+        return pd.Series(batch_simhash(list(texts), k))
 
     return simhash_udf
 

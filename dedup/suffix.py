@@ -136,13 +136,16 @@ def doc_anchors(conversations: DataFrame, cfg: DedupConfig | None = None) -> Dat
 
 
 def span_candidate_pairs(
-    conversations: DataFrame, cfg: DedupConfig | None = None
+    conversations: DataFrame, cfg: DedupConfig | None = None, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Anchor-join candidates: pairs sharing ≥ min_span_len/(4·mod) anchors.
 
     Returns (pairs, overflow_metrics). The shared-anchor minimum keeps the
     pair table small: a true L-span shares ≈ L/mod anchors, so the threshold
     is conservative by 4× (alignment/normalization slack).
+
+    ``materialize`` checkpoints the sized anchor table — the anchor UDF runs
+    once, not once per consumer (pair join reads twice + overflow metric).
     """
     cfg = cfg or DedupConfig()
     min_shared = max(2, cfg.min_span_len // (4 * cfg.span_anchor_mod))
@@ -150,6 +153,8 @@ def span_candidate_pairs(
 
     w = Window.partitionBy("anchor_hash")
     sized = anchors.withColumn("n", F.count(F.lit(1)).over(w)).where(F.col("n") > 1)
+    if materialize:
+        sized = sized.localCheckpoint()
     hot_cap = cfg.band_bucket_cap
     small = sized.where(F.col("n") <= hot_cap)
     big = sized.where(F.col("n") > hot_cap)
