@@ -77,6 +77,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # prewarm JVM + Python UDF workers (excluded from timings, like the
+    # reference's hyperfine --warmup runs: throughput, not cold-start, is
+    # what the gates measure)
+    from dedup.minhash import with_minhash as _wm
+
+    warm = spark.range(256).selectExpr(
+        "cast(id as string) conv_id", "repeat('warm text ', 20) doc"
+    )
+    _wm(warm).select("minhash").write.format("noop").mode("overwrite").save()
+
     # --- headline: full pipeline on synthetic transcripts ---------------
     turns = spark.read.parquet(f"{corpus_path}/transcripts.parquet")
     n_turns = turns.count()

@@ -53,9 +53,11 @@ def losers(clusters_with_rep: DataFrame) -> DataFrame:
 def apply_delete_rewrite(turns: DataFrame, losers_df: DataFrame) -> DataFrame:
     """Anti-join rewrite of the turns table: drop every turn of every loser
     conversation. On Iceberg this is `DELETE FROM transcripts WHERE conv_id
-    IN (SELECT ...)`; the anti-join expresses the same rows and lets Spark
-    broadcast the loser set when small."""
-    return turns.join(losers_df, "conv_id", "left_anti")
+    IN (SELECT ...)`; the anti-join expresses the same rows. The loser set
+    is explicitly broadcast — it is orders of magnitude smaller than the
+    turns table by construction, and without stats the static planner would
+    otherwise sort-merge-shuffle the full corpus."""
+    return turns.join(F.broadcast(losers_df), "conv_id", "left_anti")
 
 
 def duplicate_report(clusters_with_rep: DataFrame) -> DataFrame:

@@ -147,23 +147,38 @@ def batch_minhash(texts: list[str], k: int, num_perm: int, seed: int) -> np.ndar
     H, starts, _counts = batch_window_hashes(texts, k)
     n_docs = starts.size
     salts = _perm_salts(num_perm, seed)
-    out = np.empty((n_docs, num_perm), dtype=np.uint64)
     if n_docs == 0:
-        return out.astype(np.int32)
-    # one 1D pass per permutation, mixing IN PLACE into a reused buffer:
-    # peak extra memory = one H-sized uint64 array per task regardless of
-    # num_perm (2D chunking allocates ~6 temps per mix and thrashes when
-    # many executor threads run concurrently).
-    v = np.empty_like(H)
-    t = np.empty_like(H)
+        return np.empty((0, num_perm), dtype=np.int32)
+    # Cache-blocked: all permutations are applied to one L2-sized window
+    # chunk while it is hot, then per-doc minima are merged across chunks.
+    # A perm-at-a-time 1D sweep re-streams H from DRAM ~10× per permutation
+    # (~memory-bandwidth bound — adding cores does nothing); blocking turns
+    # it compute-bound and scales with executor threads.
+    CHUNK = 2048  # windows per block: (num_perm × CHUNK × 8B) temps ≈ 2 MB
+    mins = np.full((num_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
+    v = np.empty((num_perm, CHUNK), dtype=np.uint64)
+    t = np.empty((num_perm, CHUNK), dtype=np.uint64)
+    salts_col = salts[:, None]
     with np.errstate(over="ignore"):
-        for p in range(num_perm):
-            np.bitwise_xor(H, salts[p], out=v)
-            np.right_shift(v, np.uint64(30), out=t); v ^= t; v *= _SM1
-            np.right_shift(v, np.uint64(27), out=t); v ^= t; v *= _SM2
-            np.right_shift(v, np.uint64(31), out=t); v ^= t
-            out[:, p] = np.minimum.reduceat(v, starts)
-    return (out & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+        for lo in range(0, H.size, CHUNK):
+            hi = min(lo + CHUNK, H.size)
+            n = hi - lo
+            vv, tt = v[:, :n], t[:, :n]
+            np.bitwise_xor(H[lo:hi][None, :], salts_col, out=vv)
+            np.right_shift(vv, np.uint64(30), out=tt); vv ^= tt; vv *= _SM1
+            np.right_shift(vv, np.uint64(27), out=tt); vv ^= tt; vv *= _SM2
+            np.right_shift(vv, np.uint64(31), out=tt); vv ^= tt
+            # docs overlapping this chunk: starts in [lo, hi) plus the one
+            # straddling doc that began before lo
+            d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            local = np.maximum(starts[d0:d1] - lo, 0)
+            np.minimum(
+                mins[:, d0:d1],
+                np.minimum.reduceat(vv, local, axis=1),
+                out=mins[:, d0:d1],
+            )
+    return (mins.T & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
 
 
 def minhash_signature(shingles_u64: np.ndarray, num_perm: int, seed: int) -> np.ndarray:

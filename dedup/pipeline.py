@@ -146,10 +146,15 @@ class DedupPipeline:
             pred = turn_filters(cfg)
             if pred is not None:
                 turns_f = turns_f.where(pred)
+            # UDF cost scales with ROWS, not bytes: a raw scan of few large
+            # files yields few splits (Spark sizes splits by bytes), which
+            # would serialize the signature UDF on a handful of cores —
+            # repartition to the cluster's parallelism first.
+            par = self.spark.sparkContext.defaultParallelism
             # materialize the per-turn simhash table: the chunk self-join
             # reads it from BOTH sides, and without a checkpoint the UDF
             # would be recomputed once per side per downstream action
-            sh = with_turn_simhash(turns_f, cfg).select(
+            sh = with_turn_simhash(turns_f.repartition(par), cfg).select(
                 "conv_id", "turn_idx", "text", "simhash"
             ).localCheckpoint()
             pair_dfs.append(simhash_conv_pairs(sh, cfg))

@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # UDF-heavy text work: cost ∝ rows, so prefer more, smaller splits
+        # than the 128 MB default (row-group granularity still applies)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

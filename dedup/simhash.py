@@ -40,22 +40,34 @@ def _hard_normalize(text: str) -> str:
 
 
 def batch_simhash(texts: list[str], k: int = 4) -> np.ndarray:
-    """int64 SimHash fingerprints for a batch, fully vectorized: one
-    window-hash pass for the whole batch (batch_window_hashes), then 64
-    per-bit segment sums via np.add.reduceat. Votes are over the shingle
-    MULTISET (frequency-weighted SimHash)."""
+    """int64 SimHash fingerprints for a batch, cache-blocked: per L2-sized
+    window chunk, unpack all 64 bits at once (np.unpackbits on the uint64
+    byte view) and segment-sum with ONE np.add.reduceat — per-bit full-array
+    sweeps would re-stream the hash array 64× from DRAM and stop scaling
+    with cores. Votes are over the shingle MULTISET (frequency-weighted
+    SimHash). Bit order is a fixed bijection of feature-hash bits; any fixed
+    permutation preserves Hamming distances and chunk banding."""
     from dedup.minhash import batch_window_hashes
 
     H, starts, counts = batch_window_hashes([_hard_normalize(t or "") for t in texts], k)
     n_docs = starts.size
-    fp = np.zeros(n_docs, dtype=np.uint64)
     if n_docs == 0:
-        return fp.astype(np.int64)
-    half = counts / 2.0
-    for b in range(64):
-        col = ((H >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-        votes = np.add.reduceat(col, starts)
-        fp |= (votes > half).astype(np.uint64) << np.uint64(b)
+        return np.zeros(0, dtype=np.int64)
+    CHUNK = 4096
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    for lo in range(0, H.size, CHUNK):
+        hi = min(lo + CHUNK, H.size)
+        bits = np.unpackbits(
+            H[lo:hi].view(np.uint8).reshape(hi - lo, 8), axis=1
+        ).astype(np.int64)
+        d0 = int(np.searchsorted(starts, lo, side="right")) - 1
+        d1 = int(np.searchsorted(starts, hi, side="left"))
+        local = np.maximum(starts[d0:d1] - lo, 0)
+        votes[d0:d1] += np.add.reduceat(bits, local, axis=0)
+    fp_bits = (votes * 2 > counts[:, None]).astype(np.uint64)
+    fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
     return fp.astype(np.int64)  # two's-complement into Spark LongType
 
 
@@ -108,6 +120,20 @@ def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> D
     banded = t.select("conv_id", "turn_idx", "simhash", chunks.alias("c")).select(
         "conv_id", "turn_idx", "simhash", "c.chunk_id", "c.chunk_val"
     )
+    # hot-chunk cap: boilerplate turns make a (chunk_id, chunk_val) bucket
+    # with thousands of members ⇒ O(n²) join blowup. Members beyond the cap
+    # are near-identical by construction (same 16-bit chunk AND typically
+    # the same simhash); keep a deterministic sample of each hot bucket and
+    # let the surviving members connect the rest through verify+CC.
+    wb = Window.partitionBy("chunk_id", "chunk_val")
+    banded = (
+        banded.withColumn(
+            "_rn",
+            F.row_number().over(wb.orderBy("conv_id", "turn_idx")),
+        )
+        .where(F.col("_rn") <= cfg.band_bucket_cap)
+        .drop("_rn")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, ["chunk_id", "chunk_val"])
@@ -145,7 +171,9 @@ def simhash_conv_pairs(
     SMALLER conversation's turns — boilerplate single-turn overlap stays out.
     """
     cfg = cfg or DedupConfig()
-    tp = simhash_turn_pairs(turns_sh, cfg)
+    # materialize: the coverage aggregation and its two joins below would
+    # otherwise re-run the chunk self-join once per consumer
+    tp = simhash_turn_pairs(turns_sh, cfg).localCheckpoint()
     n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
     # distinct matched turns per side, then coverage vs the smaller side
     per_pair = tp.groupBy("conv_a", "conv_b").agg(

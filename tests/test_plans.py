@@ -1,0 +1,97 @@
+"""Physical-plan quality gates: the properties that make this design hold at
+100 TB must be visible in .explain() output, not just asserted in prose.
+
+- turn-level predicates reach the parquet scan (PushedFilters);
+- column pruning: the scan reads only referenced columns (ReadSchema);
+- the delete rewrite broadcasts the small loser set;
+- the exact tier stays inside WholeStageCodegen (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.assemble import assemble_conversations
+from dedup.config import DedupConfig
+from dedup.exact import exact_clusters
+from dedup.keep import apply_delete_rewrite
+
+
+@pytest.fixture(scope="module")
+def turns_parquet(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "turns")
+    from dedup.schema import TRANSCRIPTS_SCHEMA
+    from dedup.synth import corpus_to_spark
+
+    corpus_to_spark(spark, corpus).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_tool_filter_pushed_to_scan(spark, turns_parquet):
+    turns = spark.read.parquet(turns_parquet)
+    cfg = DedupConfig(include_tools=("js", "csv"), min_turn_idx=1)
+    plan = _plan(assemble_conversations(turns, cfg))
+    assert "PushedFilters" in plan
+    # tool-IN and turn_idx bounds must appear among the pushed filters
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "tool" in pushed and "turn_idx" in pushed, pushed
+
+
+def test_column_pruning_at_scan(spark, turns_parquet):
+    turns = spark.read.parquet(turns_parquet)
+    # a query touching only conv_id+turn_idx must not read text/ts/role/tool
+    q = turns.groupBy("conv_id").agg(F.max("turn_idx").alias("max_turn"))
+    plan = _plan(q)
+    sched = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "conv_id" in sched and "turn_idx" in sched
+    for col in ("text", "role", "tool", "ts"):
+        assert col not in sched, (col, sched)
+
+
+def test_delete_rewrite_uses_broadcast(spark, turns_parquet):
+    turns = spark.read.parquet(turns_parquet)
+    losers = spark.createDataFrame([("c00000001",)], ["conv_id"])
+    plan = _plan(apply_delete_rewrite(turns, losers))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_exact_tier_is_codegen_only(spark, turns_parquet):
+    """The exact tier must contain zero Python evals — pure JVM codegen +
+    window aggregation."""
+    turns = spark.read.parquet(turns_parquet)
+    conv = assemble_conversations(turns)
+    df = exact_clusters(conv, DedupConfig(strict=True))
+    plan = _plan(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
+    # AQE hides codegen subtrees until runtime — inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = _plan(exact_clusters(conv, DedupConfig(strict=True)), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in codegen and "Found 0" not in codegen
+
+
+def test_lsh_banding_is_jvm_side(spark):
+    """Band explode + band hashing must not invoke Python — only the
+    signature UDF itself is Python."""
+    from dedup.lsh import band_buckets
+
+    sigs = spark.createDataFrame(
+        [("a", list(range(128)))], "conv_id string, minhash array<int>"
+    )
+    plan = _plan(band_buckets(sigs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
