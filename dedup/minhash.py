@@ -139,63 +139,74 @@ def batch_window_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarra
     return H, starts, counts
 
 
+_U64MAX = np.uint64(np.iinfo(np.uint64).max)
+
+
+def _densify_rotation(sig: np.ndarray) -> None:
+    """One-sided cyclic rotation densification (in place): an empty bin
+    copies the nearest non-empty bin to its right (wrapping). Deterministic
+    and set-functional — identical shingle sets densify identically, so the
+    exact-dup ⇒ identical-signature property survives."""
+    empty_rows = np.nonzero((sig == _U64MAX).any(axis=1))[0]
+    for r in empty_rows:
+        row = sig[r]
+        filled = np.nonzero(row != _U64MAX)[0]
+        if filled.size == 0:  # cannot happen: every doc has ≥1 window
+            row[:] = 0
+            continue
+        holes = np.nonzero(row == _U64MAX)[0]
+        nxt = np.searchsorted(filled, holes) % filled.size
+        row[holes] = row[filled[nxt]]
+
+
 def batch_minhash(texts: list[str], k: int, num_perm: int, seed: int) -> np.ndarray:
-    """(n_docs × num_perm) int32 signatures for a batch, fully vectorized:
-    per salt chunk, mix the whole batch's window hashes once and segment-min
-    with np.minimum.reduceat. Identical output to minhash_signature(
-    shingle_hashes(text)) — min over a multiset equals min over its set."""
-    H, starts, _counts = batch_window_hashes(texts, k)
+    """(n_docs × num_perm) int32 signatures for a batch via ONE-PERMUTATION
+    HASHING: mix every window hash once, route it to bin = top log2(num_perm)
+    bits, keep the min per (doc, bin) with a single np.minimum.at scatter,
+    then rotation-densify empty bins. O(windows) total — the classic
+    k-permutation scheme costs O(windows × num_perm), which at corpus scale
+    made signatures 55% of pipeline wall. Positional agreement between two
+    OPH signatures is the standard Jaccard estimator (Li et al.); identical
+    docs still produce identical signatures at any seed.
+
+    num_perm must be a power of two (bin routing by bit shift).
+    """
+    if num_perm & (num_perm - 1):
+        raise ValueError(f"num_perm must be a power of two, got {num_perm}")
+    H, starts, counts = batch_window_hashes(texts, k)
     n_docs = starts.size
-    salts = _perm_salts(num_perm, seed)
     if n_docs == 0:
         return np.empty((0, num_perm), dtype=np.int32)
-    # Cache-blocked: all permutations are applied to one L2-sized window
-    # chunk while it is hot, then per-doc minima are merged across chunks.
-    # A perm-at-a-time 1D sweep re-streams H from DRAM ~10× per permutation
-    # (~memory-bandwidth bound — adding cores does nothing); blocking turns
-    # it compute-bound and scales with executor threads.
-    CHUNK = 2048  # windows per block: (num_perm × CHUNK × 8B) temps ≈ 2 MB
-    mins = np.full((num_perm, n_docs), np.iinfo(np.uint64).max, dtype=np.uint64)
-    v = np.empty((num_perm, CHUNK), dtype=np.uint64)
-    t = np.empty((num_perm, CHUNK), dtype=np.uint64)
-    salts_col = salts[:, None]
+    salt = _perm_salts(1, seed)[0]
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
     with np.errstate(over="ignore"):
-        for lo in range(0, H.size, CHUNK):
-            hi = min(lo + CHUNK, H.size)
-            n = hi - lo
-            vv, tt = v[:, :n], t[:, :n]
-            np.bitwise_xor(H[lo:hi][None, :], salts_col, out=vv)
-            np.right_shift(vv, np.uint64(30), out=tt); vv ^= tt; vv *= _SM1
-            np.right_shift(vv, np.uint64(27), out=tt); vv ^= tt; vv *= _SM2
-            np.right_shift(vv, np.uint64(31), out=tt); vv ^= tt
-            # docs overlapping this chunk: starts in [lo, hi) plus the one
-            # straddling doc that began before lo
-            d0 = int(np.searchsorted(starts, lo, side="right")) - 1
-            d1 = int(np.searchsorted(starts, hi, side="left"))
-            local = np.maximum(starts[d0:d1] - lo, 0)
-            np.minimum(
-                mins[:, d0:d1],
-                np.minimum.reduceat(vv, local, axis=1),
-                out=mins[:, d0:d1],
-            )
-    return (mins.T & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+        v = _mix64(H ^ salt)
+        bins = (v >> shift).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        flat = doc_idx * num_perm + bins
+        sig = np.full(n_docs * num_perm, _U64MAX, dtype=np.uint64)
+        np.minimum.at(sig, flat, v)
+    sig = sig.reshape(n_docs, num_perm)
+    _densify_rotation(sig)
+    return (sig & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
 
 
 def minhash_signature(shingles_u64: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
-    """num_perm-wide MinHash signature (int32) of a shingle set.
-
-    Position i = low 32 bits of min over shingles x of mix64(x ^ salt_i).
-    The 64→32 truncation only matters for cross-doc equality tests; a
-    spurious positional match has probability 2^-32.
-    """
-    salts = _perm_salts(num_perm, seed)
-    mins = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    """num_perm-wide one-permutation-hashing signature (int32) of a single
+    shingle set — the per-doc reference implementation the batched kernel is
+    tested against. Bin = top log2(num_perm) bits of mix64(x ^ salt); value
+    = per-bin min; empty bins densified by cyclic rotation. The 64→32-bit
+    storage truncation only matters for cross-doc positional equality; a
+    spurious match has probability 2^-32."""
+    salt = _perm_salts(1, seed)[0]
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+    sig = np.full((1, num_perm), _U64MAX, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for lo in range(0, shingles_u64.size, 4096):
-            chunk = shingles_u64[lo : lo + 4096]
-            v = _mix64(chunk[None, :] ^ salts[:, None])
-            np.minimum(mins, v.min(axis=1), out=mins)
-    return (mins & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
+        v = _mix64(shingles_u64 ^ salt)
+        bins = (v >> shift).astype(np.int64)
+        np.minimum.at(sig[0], bins, v)
+    _densify_rotation(sig)
+    return (sig[0] & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
 
 
 #: whitespace class for normalization. \x1e (TURN_SEP) is listed explicitly:
@@ -227,10 +238,22 @@ def make_minhash_udf(cfg: DedupConfig):
     return minhash_udf
 
 
-def with_minhash(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
-    """Attach a ``minhash: array<int>`` column computed from the normalized doc."""
+def with_minhash(
+    conversations: DataFrame, cfg: DedupConfig | None = None, repartition: bool = True
+) -> DataFrame:
+    """Attach a ``minhash: array<int>`` column computed from the normalized doc.
+
+    ``repartition`` spreads rows across the cluster's full parallelism
+    first: signature cost scales with ROWS, while upstream AQE coalesces
+    shuffle output by BYTES — without this, a text corpus that fits in a
+    couple of 64 MB partitions runs the UDF on a couple of cores.
+    """
     cfg = cfg or DedupConfig()
     udf = make_minhash_udf(cfg)
+    if repartition:
+        conversations = conversations.repartition(
+            conversations.sparkSession.sparkContext.defaultParallelism
+        )
     return conversations.withColumn("minhash", udf(_normalize_expr(F.col("doc"))))
 
 

@@ -103,9 +103,12 @@ class DedupPipeline:
         if p:
             df.write.mode("overwrite").parquet(p)
             out = self.spark.read.parquet(p)
+            n = out.count()
         else:
             out = df.localCheckpoint()
-        n = out.count()
+            # row counts are free from the persisted files above, but an
+            # in-memory run would pay one extra job per stage — skip (-1)
+            n = -1
         self._record(stage, n, time.monotonic() - t0, resumed=False)
         return out
 
@@ -127,8 +130,11 @@ class DedupPipeline:
     # ---- stages ---------------------------------------------------------
 
     def run(self, turns: DataFrame) -> PipelineResult:
+        from dedup.util import persistent_rdd_ids, unpersist_ids
+
         cfg = self.cfg
         metrics: dict = {}
+        _pre_ids = persistent_rdd_ids(self.spark)
 
         conv = self._materialize("conversations", assemble_conversations(turns, cfg))
 
@@ -197,12 +203,21 @@ class DedupPipeline:
             cc = connected_components(
                 edges.select("conv_a", "conv_b"), cfg.cc_max_iters, log=self.log
             )
+            _before_clusters = persistent_rdd_ids(self.spark)
             clusters = self._materialize(
                 "clusters",
                 select_representatives(
                     cc.withColumnRenamed("conv_id", "conv_id"), conv, self.keep_policy
                 ),
             )
+            # free every scratch checkpoint this run pinned (tier sized
+            # tables, simhash/turn-pair tables, CC rounds, conv/sigs/...)
+            # EXCEPT the blocks backing the returned clusters DataFrame —
+            # leaked blocks measurably slow the session's next job.
+            _cluster_ids = persistent_rdd_ids(self.spark) - _before_clusters
+            scratch = (persistent_rdd_ids(self.spark) - _pre_ids) - _cluster_ids
+            freed = unpersist_ids(self.spark, scratch)
+            self.log(f"freed {freed} scratch checkpoint RDDs")
 
         metrics["stages"] = self._lineage
         return PipelineResult(clusters=clusters, stages=[

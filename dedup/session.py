@@ -35,12 +35,25 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("DEDUP_SHUFFLE_PARTITIONS", n))
 
+    # shuffle/spill scratch on tmpfs when available: 32 concurrent tasks
+    # writing shuffle files through one virtio disk serializes the job on
+    # IO regardless of core count (observed: local[32] == local[8] walls)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescing floors at minPartitionSize (1 MB): every small-BYTES
+        # shuffle (pair tables, band windows, CC labels) lands on ONE
+        # partition and serializes work that is expensive per ROW. We
+        # already size shuffle.partitions to cluster parallelism, so
+        # coalescing has nothing to offer; skew splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
@@ -52,6 +65,8 @@ def get_spark(
         # than the 128 MB default (row-group granularity still applies)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

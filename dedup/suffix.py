@@ -114,6 +114,9 @@ def doc_anchors(conversations: DataFrame, cfg: DedupConfig | None = None) -> Dat
     """
     cfg = cfg or DedupConfig()
     w, mod, cap = 64, cfg.span_anchor_mod, cfg.span_doc_cap
+    conversations = conversations.repartition(
+        conversations.sparkSession.sparkContext.defaultParallelism
+    )
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def anchors_udf(docs: pd.Series) -> pd.Series:
@@ -187,6 +190,9 @@ def verify_span_pairs(
     joined = (
         pairs.join(docs.withColumnsRenamed({"conv_id": "conv_a", "doc": "doc_a"}), "conv_a")
         .join(docs.withColumnsRenamed({"conv_id": "conv_b", "doc": "doc_b"}), "conv_b")
+        # LCS cost ∝ candidate rows; AQE coalesces this small join output to
+        # a few byte-sized partitions, which would serialize the UDF
+        .repartition(conversations.sparkSession.sparkContext.defaultParallelism)
     )
     cap, min_len = cfg.span_doc_cap, cfg.min_span_len
 

@@ -66,6 +66,8 @@ def verify_pairs(
         joined = (
             cand.join(docs.withColumnsRenamed({"conv_id": "conv_a", "doc": "doc_a"}), "conv_a")
             .join(docs.withColumnsRenamed({"conv_id": "conv_b", "doc": "doc_b"}), "conv_b")
+            # UDF cost ∝ rows; spread the (small-bytes) pair table wide
+            .repartition(conversations.sparkSession.sparkContext.defaultParallelism)
         )
         k = cfg.shingle_k
 

@@ -27,6 +27,11 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["PYTHONPATH"] = REPO
+    # best-of-3 of the pipeline only: single runs on a shared box are too
+    # noisy for a scaling ratio (hyperfine-style repetition, like the
+    # reference's own published numbers)
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")
+    env.setdefault("SPARK_GRAFT_BENCH_ONLY", "pipeline_synth")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
