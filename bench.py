@@ -83,12 +83,14 @@ def main() -> None:
     # what the gates measure)
     from dedup.minhash import with_minhash as _wm
 
-    # realistic-sized warm batch: the first heavy Arrow-UDF job in a JVM
-    # pays ~8s of one-time JIT/heap-growth cost that a tiny batch does not
-    # trigger
-    warm = spark.range(20_000).selectExpr(
+    # realistic-sized warm batches: the first FULL-SIZE Arrow batch in each
+    # Python worker pays a large one-time allocator/JIT cost that a small
+    # batch does not trigger — warm with the same per-batch volume the real
+    # corpus produces (≈1024 docs × ~3k chars per batch per worker)
+    n_workers = int(CPUS) if str(CPUS).isdigit() else (os.cpu_count() or 8)
+    warm = spark.range(2 * 1024 * n_workers).selectExpr(
         "cast(id as string) conv_id",
-        "repeat(concat('warm text segment ', cast(id % 97 as string), ' '), 30) doc",
+        "repeat(concat('warm text segment ', cast(id % 97 as string), ' '), 100) doc",
     )
     _wm(warm).select("minhash").write.format("noop").mode("overwrite").save()
 

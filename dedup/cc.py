@@ -29,17 +29,28 @@ def connected_components(
 ) -> DataFrame:
     """edges(conv_a, conv_b) → labels(conv_id, cluster_id)."""
     edges = edges.select("conv_a", "conv_b").dropDuplicates()
+    # The label table is tiny relative to the corpus (only members of
+    # candidate pairs); per-round cost is shuffle-task latency, so run the
+    # whole loop at a reduced parallelism instead of the corpus-wide
+    # shuffle width.
+    spark = edges.sparkSession
+    cc_parts = max(2, spark.sparkContext.defaultParallelism // 4)
     # symmetric adjacency: one DataFrame, both directions
-    sym = edges.unionByName(
-        edges.select(
-            F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b")
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b")
+            )
         )
-    ).localCheckpoint()
+        .repartition(cc_parts, "conv_b")
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("conv_a").alias("conv_id"))
         .distinct()
         .withColumn("label", F.col("conv_id"))
+        .repartition(cc_parts, "conv_id")
         .localCheckpoint()
     )
 

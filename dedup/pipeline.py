@@ -161,26 +161,22 @@ class DedupPipeline:
             # reads it from BOTH sides, and without a checkpoint the UDF
             # would be recomputed once per side per downstream action
             sh = with_turn_simhash(turns_f.repartition(par), cfg).select(
-                "conv_id", "turn_idx", "text", "simhash"
+                "conv_id", "turn_idx", "simhash"
             ).localCheckpoint()
             pair_dfs.append(simhash_conv_pairs(sh, cfg))
-        if self.enable_span:
-            span_cand, span_overflow = span_candidate_pairs(conv, cfg)
-            pair_dfs.append(verify_span_pairs(span_cand, conv, cfg).drop("span_len"))
         all_pairs = pair_dfs[0]
         for p in pair_dfs[1:]:
             all_pairs = all_pairs.unionByName(p)
-        # One row per undirected pair, keeping the STRONGEST source: exact,
-        # span and simhash pairs are pre-verified by their tier and bypass
-        # the Jaccard re-check in verify_pairs, so a pair also found by LSH
-        # must not be demoted to 'lsh' (Jaccard could wrongly reject it).
+        # One row per undirected pair, keeping the STRONGEST source: exact
+        # and simhash pairs are pre-verified by their tier and bypass the
+        # Jaccard re-check in verify_pairs, so a pair also found by LSH must
+        # not be demoted to 'lsh' (Jaccard could wrongly reject it).
         prio = (
             F.when(F.col("source") == "exact", 0)
-            .when(F.col("source") == "span", 1)
-            .when(F.col("source") == "simhash", 2)
-            .otherwise(3)
+            .when(F.col("source") == "simhash", 1)
+            .otherwise(2)
         )
-        names = F.array(F.lit("exact"), F.lit("span"), F.lit("simhash"), F.lit("lsh"))
+        names = F.array(F.lit("exact"), F.lit("simhash"), F.lit("lsh"))
         all_pairs = (
             all_pairs.withColumn("_prio", prio)
             .groupBy("conv_a", "conv_b")
@@ -190,12 +186,30 @@ class DedupPipeline:
         )
         pairs = self._materialize("pairs", all_pairs)
         metrics["lsh_overflow_buckets"] = lsh_overflow.count()
-        if self.enable_span:
-            metrics["span_overflow_anchors"] = span_overflow.count()
 
-        edges = self._materialize(
-            "edges", verify_pairs(pairs, sigs, cfg, conversations=conv)
-        )
+        cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
+        if self.enable_span:
+            # Span tier runs LAST, against the already-accepted edge set:
+            # exact copies and near-dups share most anchors and would all
+            # become span candidates, but their LCS verification is pure
+            # waste — the cheaper tiers already accepted them. Anti-join
+            # keeps LCS (the most expensive verifier) for pairs only the
+            # span tier can see. Final edge SET is unchanged.
+            cheap_edges = cheap_edges.localCheckpoint()
+            span_cand, span_overflow = span_candidate_pairs(conv, cfg)
+            metrics["span_overflow_anchors"] = span_overflow.count()
+            new_cand = span_cand.join(
+                cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
+            )
+            span_edges = (
+                verify_span_pairs(new_cand, conv, cfg)
+                .drop("span_len")
+                .withColumn("similarity", F.lit(None).cast("double"))
+                .select("conv_a", "conv_b", "source", "similarity")
+            )
+            cheap_edges = cheap_edges.unionByName(span_edges)
+
+        edges = self._materialize("edges", cheap_edges)
 
         if self._done("clusters"):
             clusters = self._materialize("clusters", None)  # loads from disk

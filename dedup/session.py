@@ -35,6 +35,14 @@ def get_spark(
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("DEDUP_SHUFFLE_PARTITIONS", n))
 
+    # glibc tuning for the Python UDF workers (forked from the JVM, which
+    # inherits this process's env): without it every Arrow batch's numpy
+    # arrays are fresh mmaps, and first-touch page churn makes identical
+    # batches vary 10-20× in wall time (measured). Keep allocations on the
+    # reused heap instead.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "2147483647")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
     # shuffle/spill scratch on tmpfs when available: 32 concurrent tasks
     # writing shuffle files through one virtio disk serializes the job on
     # IO regardless of core count (observed: local[32] == local[8] walls)
@@ -48,17 +56,22 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # coalescing floors at minPartitionSize (1 MB): every small-BYTES
-        # shuffle (pair tables, band windows, CC labels) lands on ONE
-        # partition and serializes work that is expensive per ROW. We
-        # already size shuffle.partitions to cluster parallelism, so
-        # coalescing has nothing to offer; skew splitting stays on.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # Coalescing with the DEFAULT 1 MB minPartitionSize collapses every
+        # small-BYTES shuffle (pair tables, band windows, CC labels) to ONE
+        # partition, serializing work that is expensive per ROW; disabling
+        # coalescing instead made every tiny shuffle pay 32 near-empty
+        # tasks. 64 KB keeps row-heavy/byte-light shuffles parallel while
+        # letting genuinely tiny ones coalesce.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "2147483647")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # UDF-heavy text work: cost ∝ rows, so prefer more, smaller splits

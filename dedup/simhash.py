@@ -88,9 +88,14 @@ def make_simhash_udf(cfg: DedupConfig):
 
 
 def with_turn_simhash(turns: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+    """Per-turn simhash for NON-EMPTY turns. Empty turns are dropped here,
+    before the UDF (an empty-text simhash would mega-bucket, and filtering
+    first keeps the checkpointed table free of the text column)."""
     cfg = cfg or DedupConfig()
     udf = make_simhash_udf(cfg)
-    return turns.withColumn("simhash", udf(F.col("text")))
+    return turns.where(F.length(F.coalesce("text", F.lit(""))) > 0).withColumn(
+        "simhash", udf(F.col("text"))
+    )
 
 
 def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
@@ -101,9 +106,7 @@ def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> D
     the same skew concern as LSH mega-bands).
     """
     cfg = cfg or DedupConfig()
-    t = turns_sh.where(F.length(F.coalesce("text", F.lit(""))) > 0).select(
-        "conv_id", "turn_idx", "simhash"
-    )
+    t = turns_sh.select("conv_id", "turn_idx", "simhash")
     chunks = F.explode(
         F.array(
             *[
@@ -123,16 +126,20 @@ def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> D
     # hot-chunk cap: boilerplate turns make a (chunk_id, chunk_val) bucket
     # with thousands of members ⇒ O(n²) join blowup. Members beyond the cap
     # are near-identical by construction (same 16-bit chunk AND typically
-    # the same simhash); keep a deterministic sample of each hot bucket and
+    # the same simhash); keep a deterministic hash-SAMPLE of each hot
+    # bucket (a count window needs no sort — a row_number cap would) and
     # let the surviving members connect the rest through verify+CC.
     wb = Window.partitionBy("chunk_id", "chunk_val")
     banded = (
-        banded.withColumn(
-            "_rn",
-            F.row_number().over(wb.orderBy("conv_id", "turn_idx")),
+        banded.withColumn("_n", F.count(F.lit(1)).over(wb))
+        .where(
+            (F.col("_n") <= cfg.band_bucket_cap)
+            | (
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.col("_n"))
+                < F.lit(cfg.band_bucket_cap)
+            )
         )
-        .where(F.col("_rn") <= cfg.band_bucket_cap)
-        .drop("_rn")
+        .drop("_n")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
