@@ -109,7 +109,9 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     if arr.size == 0:
         arr = np.zeros(1, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        if arr.size <= k:
+        # size == k goes through the window path (one window) so the batch
+        # kernel and this per-doc path agree at the boundary
+        if arr.size < k:
             h = (arr * _roll_weights(int(arr.size))).sum(dtype=np.uint64)[None]
         else:
             h = _window_hashes_1d(arr, k)
