@@ -67,7 +67,15 @@ class DedupPipeline:
         enable_span: bool = True,
         keep_policy: str = "oldest",
         log=None,
+        fused: bool = False,
     ):
+        """``fused=True`` skips the tier-internal checkpoints (sized LSH
+        buckets, simhash turn pairs, anchor tables): Spark's exchange reuse
+        computes each self-joined intermediate once per action anyway, so a
+        fused run collapses ~6 eager materializations into the stage writes
+        — lower fixed cost per job, at the price of recomputing tier
+        lineage if a stage-level retry occurs. Stage checkpoints (and
+        resume) are unaffected."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.run_dir = run_dir
@@ -75,6 +83,7 @@ class DedupPipeline:
         self.enable_span = enable_span
         self.keep_policy = keep_policy
         self.log = log or (lambda msg: None)
+        self.fused = fused
         self._lineage: list[dict] = []
 
     # ---- checkpoint plumbing -------------------------------------------

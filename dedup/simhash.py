@@ -171,16 +171,20 @@ def simhash_conv_pairs(
     turns_sh: DataFrame,
     cfg: DedupConfig | None = None,
     min_shared_turn_frac: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Lift turn pairs to conversation candidate pairs (source='simhash').
 
     A pair qualifies when matched turns cover ≥ min_shared_turn_frac of the
     SMALLER conversation's turns — boilerplate single-turn overlap stays out.
+
+    ``materialize`` checkpoints the turn-pair table; with it off, Spark's
+    exchange reuse still computes the chunk self-join once per action.
     """
     cfg = cfg or DedupConfig()
-    # materialize: the coverage aggregation and its two joins below would
-    # otherwise re-run the chunk self-join once per consumer
-    tp = simhash_turn_pairs(turns_sh, cfg).localCheckpoint()
+    tp = simhash_turn_pairs(turns_sh, cfg)
+    if materialize:
+        tp = tp.localCheckpoint()
     n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
     # distinct matched turns per side, then coverage vs the smaller side
     per_pair = tp.groupBy("conv_a", "conv_b").agg(
