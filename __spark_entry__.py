@@ -249,7 +249,8 @@ def q_simhash_turn_pairs(spark, sf_dir):
 
     turns = derive_transcripts(spark, sf_dir)
     sh = with_turn_simhash(turns)
-    return simhash_turn_pairs(sh).select("conv_a", "turn_a", "conv_b", "turn_b", "hamming")
+    pairs, _overflow = simhash_turn_pairs(sh)
+    return pairs.select("conv_a", "turn_a", "conv_b", "turn_b", "hamming")
 
 
 def q_span_pairs(spark, sf_dir):

@@ -67,20 +67,33 @@ def connected_components(
             F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
                 "label"
             ),
+            "label0",
         )
 
+    # label0 rides along so the convergence check needs NO join back to the
+    # previous round — `changed` is a plain agg over the stepped frame.
+    labels = labels.withColumn("label0", F.col("label"))
+    prev_cached = None
     for it in range(max_iters):
-        # two propagation hops per materialization/convergence check: label
-        # data is tiny, so per-round cost is job latency, not compute —
-        # halving the checkpoint+count rounds halves the fixed overhead
-        old = labels
-        stepped = _hop(_hop(labels)).localCheckpoint()
-        changed = (
-            stepped.join(old.withColumnRenamed("label", "old_label"), "conv_id")
-            .where(F.col("old_label") != F.col("label"))
-            .count()
+        # two propagation hops per round: label data is tiny, so per-round
+        # cost is JOB latency, not compute. One Spark job per round: the
+        # count() both materializes the persisted frame and measures
+        # convergence; localCheckpoint every third round truncates the
+        # lineage (per-round plans grow linearly between cuts, which the
+        # analyzer tolerates; unbounded growth it does not).
+        stepped = _hop(_hop(labels))
+        cached = None
+        if it % 3 == 2:
+            stepped = stepped.localCheckpoint()
+        else:
+            stepped = cached = stepped.persist()
+        changed = stepped.where(F.col("label0") != F.col("label")).count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cached
+        labels = stepped.select(
+            "conv_id", "label", F.col("label").alias("label0")
         )
-        labels = stepped
         if log:
             log(f"cc round {it} (2 hops): {changed} labels changed")
         if changed == 0:
@@ -88,4 +101,4 @@ def connected_components(
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
-    return labels.withColumnRenamed("label", "cluster_id")
+    return labels.select("conv_id", F.col("label").alias("cluster_id"))

@@ -43,13 +43,14 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (seeded bytes; planted exact dups at
-    every 8th row)."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media table (seeded bytes). Planted exact dups:
+    every 8th row (i % 8 == 0, i > 0) carries the payload of row i-1 — the
+    predecessor is never itself remapped (i-1 % 8 == 7), so each pair
+    (i-1, i) is a real duplicate pair and nothing else collides."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        src = i - (i % 8 == 0 and i > 0) * 8  # every 8th row duplicates i-8
+        src = i - 1 if (i % 8 == 0 and i > 0) else i
         payload = np.random.default_rng(seed + src).integers(
             0, 256, size=256 + (src % 5) * 64, dtype=np.uint8
         )

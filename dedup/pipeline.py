@@ -68,14 +68,17 @@ class DedupPipeline:
         keep_policy: str = "oldest",
         log=None,
         fused: bool = False,
+        tier_metrics: bool = True,
     ):
         """``fused=True`` skips the tier-internal checkpoints (sized LSH
-        buckets, simhash turn pairs, anchor tables): Spark's exchange reuse
-        computes each self-joined intermediate once per action anyway, so a
-        fused run collapses ~6 eager materializations into the stage writes
-        — lower fixed cost per job, at the price of recomputing tier
-        lineage if a stage-level retry occurs. Stage checkpoints (and
-        resume) are unaffected."""
+        buckets, simhash turn/turn-pair tables, anchor tables): Spark's
+        exchange reuse computes each self-joined intermediate once per
+        action anyway, so a fused run collapses ~6 eager materializations
+        into the stage writes — lower fixed cost per job, at the price of
+        recomputing tier lineage if a stage-level retry or the
+        overflow-metrics job re-reads it (pair a fused benchmark run with
+        ``tier_metrics=False``). Stage checkpoints (and resume) are
+        unaffected."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.run_dir = run_dir
@@ -84,6 +87,7 @@ class DedupPipeline:
         self.keep_policy = keep_policy
         self.log = log or (lambda msg: None)
         self.fused = fused
+        self.tier_metrics = tier_metrics
         self._lineage: list[dict] = []
 
     # ---- checkpoint plumbing -------------------------------------------
@@ -152,7 +156,8 @@ class DedupPipeline:
         )
 
         # candidate pairs from every tier, one union
-        lsh_pairs, lsh_overflow = candidate_pairs(sigs, cfg)
+        mat = not self.fused
+        lsh_pairs, lsh_overflow = candidate_pairs(sigs, cfg, materialize=mat)
         pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
         if self.enable_simhash:
             from dedup.assemble import turn_filters
@@ -161,6 +166,13 @@ class DedupPipeline:
             pred = turn_filters(cfg)
             if pred is not None:
                 turns_f = turns_f.where(pred)
+            # all tiers must see the same filtered population: conversations
+            # dropped by min_size (applied in assemble_conversations) must
+            # not re-enter through simhash turn edges — semi-join against
+            # the assembled (already materialized) conversations table.
+            # (no broadcast hint: the conv_id set is corpus-sized at scale;
+            # AQE picks broadcast itself when it is actually small)
+            turns_f = turns_f.join(conv.select("conv_id"), "conv_id", "left_semi")
             # UDF cost scales with ROWS, not bytes: a raw scan of few large
             # files yields few splits (Spark sizes splits by bytes), which
             # would serialize the signature UDF on a handful of cores —
@@ -171,8 +183,10 @@ class DedupPipeline:
             # would be recomputed once per side per downstream action
             sh = with_turn_simhash(turns_f.repartition(par), cfg).select(
                 "conv_id", "turn_idx", "simhash"
-            ).localCheckpoint()
-            pair_dfs.append(simhash_conv_pairs(sh, cfg))
+            )
+            if mat:
+                sh = sh.localCheckpoint()
+            pair_dfs.append(simhash_conv_pairs(sh, cfg, materialize=mat))
         all_pairs = pair_dfs[0]
         for p in pair_dfs[1:]:
             all_pairs = all_pairs.unionByName(p)
@@ -194,7 +208,7 @@ class DedupPipeline:
             .drop("_prio")
         )
         pairs = self._materialize("pairs", all_pairs)
-        metrics["lsh_overflow_buckets"] = lsh_overflow.count()
+        overflow_dfs = {"lsh_overflow_buckets": lsh_overflow}
 
         cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
         if self.enable_span:
@@ -205,8 +219,8 @@ class DedupPipeline:
             # keeps LCS (the most expensive verifier) for pairs only the
             # span tier can see. Final edge SET is unchanged.
             cheap_edges = cheap_edges.localCheckpoint()
-            span_cand, span_overflow = span_candidate_pairs(conv, cfg)
-            metrics["span_overflow_anchors"] = span_overflow.count()
+            span_cand, span_overflow = span_candidate_pairs(conv, cfg, materialize=mat)
+            overflow_dfs["span_overflow_anchors"] = span_overflow
             new_cand = span_cand.join(
                 cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
             )
@@ -219,6 +233,27 @@ class DedupPipeline:
             cheap_edges = cheap_edges.unionByName(span_edges)
 
         edges = self._materialize("edges", cheap_edges)
+
+        # Overflow metrics (no silent caps — the north rule): all tier
+        # overflow counts are batched into ONE tiny union-agg job instead of
+        # one standalone .count() per tier; it must run here, before the
+        # end-of-run scratch-checkpoint cleanup frees the blocks the
+        # overflow lineage reads. ``tier_metrics=False`` (benchmark mode)
+        # skips the job and records the skip — the capped members still got
+        # star edges, so no DATA was dropped, only this count.
+        if not self.tier_metrics:
+            metrics["tier_metrics_skipped"] = sorted(overflow_dfs)
+            self.log("tier overflow metrics skipped: " + ", ".join(sorted(overflow_dfs)))
+        elif overflow_dfs:
+            aggs = None
+            for name, df in overflow_dfs.items():
+                one = df.select(
+                    F.lit(name).alias("metric"),
+                    F.count(F.lit(1)).cast("long").alias("value"),
+                )
+                aggs = one if aggs is None else aggs.unionByName(one)
+            for row in aggs.collect():
+                metrics[row["metric"]] = row["value"]
 
         if self._done("clusters"):
             clusters = self._materialize("clusters", None)  # loads from disk

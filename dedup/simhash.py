@@ -16,10 +16,13 @@ Dataflow (everything but the signature UDF is JVM-side):
    within Hamming distance 3 share at least one exact chunk → self-join on
    (chunk_id, chunk_value) finds all such pairs without O(n²) compare;
 4. verify Hamming ≤ ``simhash_hamming`` via xor + bit_count (codegen'd);
-5. lift turn pairs to conversation pairs: conversations sharing a fraction
-   ≥ ``min_shared_turn_frac`` of their turns become candidate pairs for the
-   shared verify+CC stage (a single shared boilerplate turn must NOT merge
-   two unrelated conversations — the downstream verifier re-checks anyway).
+5. lift turn pairs to conversation pairs: conversations where matched turns
+   cover ≥ ``min_shared_turn_frac`` of BOTH sides' turns AND at least
+   ``min_matched_turns`` turns matched become pairs (source='simhash').
+   Both-sides coverage IS this tier's verification — it asserts mutual
+   near-duplication, so a 1-turn conversation holding a common boilerplate
+   turn ("thanks") cannot act as an unverified bridge that connected
+   components would use to merge unrelated long conversations.
 """
 
 from __future__ import annotations
@@ -98,12 +101,24 @@ def with_turn_simhash(turns: DataFrame, cfg: DedupConfig | None = None) -> DataF
     )
 
 
-def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def simhash_turn_pairs(
+    turns_sh: DataFrame, cfg: DedupConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(conv_id, turn_idx, simhash) → turn-level near-exact pairs.
 
-    Returns (conv_a, turn_a, conv_b, turn_b, hamming). Chunk join blocks the
-    O(n²) compare; empty-text turns are excluded (simhash 0 would mega-bucket,
-    the same skew concern as LSH mega-bands).
+    Returns (pairs, overflow): pairs = (conv_a, turn_a, conv_b, turn_b,
+    hamming); overflow = one row per hot (chunk_id, chunk_val) bucket with
+    its size. Chunk join blocks the O(n²) compare; empty-text turns are
+    excluded upstream (simhash 0 would mega-bucket, the same skew concern
+    as LSH mega-bands).
+
+    Hot-chunk buckets (boilerplate turns: thousands of members sharing one
+    16-bit chunk) are demoted to STAR edges around the bucket-min member —
+    the same treatment as LSH mega-bands (lsh.py), O(n) edges instead of
+    O(n²) — and counted into the overflow metric, never silently dropped.
+    Star edges still pass the exact Hamming check, so a member whose
+    distance to the anchor exceeds the cap contributes no edge; connectivity
+    for those flows through the other three chunk tables.
     """
     cfg = cfg or DedupConfig()
     t = turns_sh.select("conv_id", "turn_idx", "simhash")
@@ -123,35 +138,17 @@ def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> D
     banded = t.select("conv_id", "turn_idx", "simhash", chunks.alias("c")).select(
         "conv_id", "turn_idx", "simhash", "c.chunk_id", "c.chunk_val"
     )
-    # hot-chunk cap: boilerplate turns make a (chunk_id, chunk_val) bucket
-    # with thousands of members ⇒ O(n²) join blowup. Members beyond the cap
-    # are near-identical by construction (same 16-bit chunk AND typically
-    # the same simhash); keep a deterministic hash-SAMPLE of each hot
-    # bucket (a count window needs no sort — a row_number cap would) and
-    # let the surviving members connect the rest through verify+CC.
     wb = Window.partitionBy("chunk_id", "chunk_val")
-    banded = (
-        banded.withColumn("_n", F.count(F.lit(1)).over(wb))
-        .where(
-            (F.col("_n") <= cfg.band_bucket_cap)
-            | (
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.col("_n"))
-                < F.lit(cfg.band_bucket_cap)
-            )
-        )
-        .drop("_n")
+    sized = banded.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
+        F.col("_n") > 1  # singleton buckets can't pair (≈ F3 pruning)
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    small = sized.where(F.col("_n") <= cfg.band_bucket_cap)
+    big = sized.where(F.col("_n") > cfg.band_bucket_cap)
+
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (
         a.join(b, ["chunk_id", "chunk_val"])
-        .where(
-            (F.col("a.conv_id") < F.col("b.conv_id"))
-            | (
-                (F.col("a.conv_id") == F.col("b.conv_id"))
-                & (F.col("a.turn_idx") < F.col("b.turn_idx"))
-            )
-        )
-        .where(F.col("a.conv_id") != F.col("b.conv_id"))  # cross-conv only
+        .where(F.col("a.conv_id") < F.col("b.conv_id"))  # cross-conv, canonical
         .select(
             F.col("a.conv_id").alias("conv_a"),
             F.col("a.turn_idx").alias("turn_a"),
@@ -162,31 +159,60 @@ def simhash_turn_pairs(turns_sh: DataFrame, cfg: DedupConfig | None = None) -> D
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
-        .dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
     )
-    return pairs
+    # mega-bucket overflow: star edges around the bucket-min (conv, turn)
+    anchor_w = wb.orderBy("conv_id", "turn_idx")
+    anchored = big.withColumn(
+        "_a", F.first(F.struct("conv_id", "turn_idx", "simhash")).over(anchor_w)
+    )
+    swap = F.col("conv_id") > F.col("_a.conv_id")
+    pairs_big = (
+        anchored.where(F.col("conv_id") != F.col("_a.conv_id"))
+        .select(
+            F.when(swap, F.col("_a.conv_id")).otherwise(F.col("conv_id")).alias("conv_a"),
+            F.when(swap, F.col("_a.turn_idx")).otherwise(F.col("turn_idx")).alias("turn_a"),
+            F.when(swap, F.col("conv_id")).otherwise(F.col("_a.conv_id")).alias("conv_b"),
+            F.when(swap, F.col("turn_idx")).otherwise(F.col("_a.turn_idx")).alias("turn_b"),
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.col("_a.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
+    )
+    pairs = pairs_small.unionByName(pairs_big).dropDuplicates(
+        ["conv_a", "turn_a", "conv_b", "turn_b"]
+    )
+    overflow = big.groupBy("chunk_id", "chunk_val").agg(
+        F.max("_n").alias("bucket_n")
+    )
+    return pairs, overflow
 
 
 def simhash_conv_pairs(
     turns_sh: DataFrame,
     cfg: DedupConfig | None = None,
     min_shared_turn_frac: float = 0.8,
+    min_matched_turns: int = 2,
     materialize: bool = True,
 ) -> DataFrame:
     """Lift turn pairs to conversation candidate pairs (source='simhash').
 
-    A pair qualifies when matched turns cover ≥ min_shared_turn_frac of the
-    SMALLER conversation's turns — boilerplate single-turn overlap stays out.
+    A pair qualifies when matched turns cover ≥ min_shared_turn_frac of
+    BOTH conversations' turns AND at least ``min_matched_turns`` turns
+    matched. Both-sides coverage is this tier's verification: it asserts
+    mutual near-duplication, so a short conversation containing one common
+    boilerplate turn cannot bridge unrelated conversations into one
+    connected component (single-turn conversations pair only with other
+    single-turn conversations, and only when min_matched_turns allows).
 
     ``materialize`` checkpoints the turn-pair table; with it off, Spark's
     exchange reuse still computes the chunk self-join once per action.
     """
     cfg = cfg or DedupConfig()
-    tp = simhash_turn_pairs(turns_sh, cfg)
+    tp, _overflow = simhash_turn_pairs(turns_sh, cfg)
     if materialize:
         tp = tp.localCheckpoint()
     n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
-    # distinct matched turns per side, then coverage vs the smaller side
     per_pair = tp.groupBy("conv_a", "conv_b").agg(
         F.countDistinct("turn_a").alias("m_a"),
         F.countDistinct("turn_b").alias("m_b"),
@@ -197,10 +223,14 @@ def simhash_conv_pairs(
         )
         .join(n_turns.withColumnsRenamed({"conv_id": "conv_b", "n_turns": "n_b"}), "conv_b")
         .where(
-            F.greatest(
-                F.col("m_a") / F.col("n_a"), F.col("m_b") / F.col("n_b")
+            (
+                F.least(F.col("m_a") / F.col("n_a"), F.col("m_b") / F.col("n_b"))
+                >= F.lit(min_shared_turn_frac)
             )
-            >= F.lit(min_shared_turn_frac)
+            & (
+                F.greatest("m_a", "m_b")
+                >= F.least(F.lit(min_matched_turns), F.least("n_a", "n_b"))
+            )
         )
         .select("conv_a", "conv_b", F.lit("simhash").alias("source"))
     )

@@ -46,7 +46,7 @@ def test_near_exact_turn_pairs(spark):
               "another unrelated turn talking about sorting algorithms at scale" * 3])
     df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
     sh = with_turn_simhash(df)
-    tp = {(r.conv_a, r.turn_a, r.conv_b, r.turn_b) for r in simhash_turn_pairs(sh).collect()}
+    tp = {(r.conv_a, r.turn_a, r.conv_b, r.turn_b) for r in simhash_turn_pairs(sh)[0].collect()}
     assert ("a", 0, "b", 0) in tp
     assert ("a", 1, "b", 1) in tp
     assert not any("z" in (x[0], x[2]) for x in tp)
@@ -66,7 +66,7 @@ def test_single_shared_turn_does_not_merge_convs(spark):
                         "unrelated third turn of conversation b talking joins" * 4])
     df = spark.createDataFrame(rows, TRANSCRIPTS_SCHEMA)
     sh = with_turn_simhash(df)
-    tp = {(r.conv_a, r.conv_b) for r in simhash_turn_pairs(sh).collect()}
+    tp = {(r.conv_a, r.conv_b) for r in simhash_turn_pairs(sh)[0].collect()}
     assert ("a", "b") in tp  # the turn pair IS found
     cp = {(r.conv_a, r.conv_b) for r in simhash_conv_pairs(sh).collect()}
     assert cp == set()  # but the conversations are NOT candidates
