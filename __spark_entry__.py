@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from dedup.config import DedupConfig  # noqa: E402
 from dedup.driver_tables import (  # noqa: E402
     CONVERSATIONS_SQL,
+    MEDIA_DUPS_SQL,
     TRANSCRIPTS_SQL,
     derive_transcripts,
 )
@@ -229,39 +230,49 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_neardup_docs_minhash(spark, sf_dir):
-    """N3-N7 (rows-only check): MinHash/LSH near-dup conversation pairs on
-    derived transcripts — catches the planted _nd tail-truncated copies."""
+    """N2-N6: MinHash/LSH candidate generation + EXACT-Jaccard verification
+    (cfg.exact_verify) — catches the planted _xd/_nd/_sp copies. Oracled:
+    the DuckDB side computes true char-9-gram Jaccard over all pairs; the
+    Spark side reports LSH candidates passing the same Jaccard — equal sets
+    because at threshold 0.7 the 32×4 banding's per-pair miss probability
+    is ≤1.5e-4 (verified exact-equal at sf0.01/sf0.001; deterministic seed)."""
     from dedup.lsh import candidate_pairs
     from dedup.minhash import with_minhash
     from dedup.verify import verify_pairs
 
-    cfg = DedupConfig()
+    cfg = DedupConfig(exact_verify=True)
     conv = _conversations(spark, sf_dir)
     sigs = with_minhash(conv, cfg).select("conv_id", "minhash")
     pairs, _ = candidate_pairs(sigs, cfg)
-    edges = verify_pairs(pairs, sigs, cfg)
-    return edges.select("conv_a", "conv_b", F.round("similarity", 4).alias("similarity"))
+    edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
+    return edges.select("conv_a", "conv_b", F.round("similarity", 6).alias("similarity"))
 
 
 def q_simhash_turn_pairs(spark, sf_dir):
-    """N8 (rows-only check): near-exact turn pairs across conversations."""
-    from dedup.simhash import simhash_turn_pairs, with_turn_simhash
+    """N8: near-exact turn pairs across conversations, via the SQL-mirrorable
+    md5-gram SimHash variant (same chunk-banding + Hamming dataflow as the
+    production numpy kernel; the oracle recomputes the fingerprint
+    bit-for-bit in DuckDB). Buckets stay far below band_bucket_cap at
+    oracle scale, so the star-edge overflow path cannot diverge."""
+    from dedup.simhash import simhash_turn_pairs, with_turn_simhash_md5
 
     turns = derive_transcripts(spark, sf_dir)
-    sh = with_turn_simhash(turns)
+    sh = with_turn_simhash_md5(turns)
     pairs, _overflow = simhash_turn_pairs(sh)
     return pairs.select("conv_a", "turn_a", "conv_b", "turn_b", "hamming")
 
 
 def q_span_pairs(spark, sf_dir):
-    """N9 (rows-only check): long-shared-span pairs (min_span_len=150) —
-    catches the planted _sp re-wrapped copies."""
+    """N9: long-shared-span pairs (min_span_len=150) — catches the planted
+    _sp re-wrapped copies. Oracled: LCS(a,b) ≥ L ⟺ a and b share an
+    L-char gram, so the DuckDB side self-joins 150-grams of the normalized
+    docs; span_len itself is covered by pytest (test_lcs_binary_search)."""
     from dedup.suffix import span_candidate_pairs, verify_span_pairs
 
     cfg = DedupConfig(min_span_len=150, span_anchor_mod=16)
     conv = _conversations(spark, sf_dir)
     cand, _ = span_candidate_pairs(conv, cfg)
-    return verify_span_pairs(cand, conv, cfg).select("conv_a", "conv_b", "span_len")
+    return verify_span_pairs(cand, conv, cfg).select("conv_a", "conv_b")
 
 
 def q_text_analysis(spark, sf_dir):
@@ -277,46 +288,52 @@ def q_text_analysis(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (threshold 0.45 — the synthetic
-    embeddings top out at cosine 0.51; real corpora would use ~0.95)."""
+    """Embedding-cosine near-dup pairs through the BUCKETED scale path
+    (axis-sign LSH candidates + exact rescoring — no cartesian product in
+    the plan; threshold 0.45 because the synthetic embeddings top out at
+    cosine 0.51; real corpora would use ~0.95). The DuckDB oracle mirrors
+    the bucket join exactly; recall vs brute force is asserted in pytest."""
     from dedup.similarity import embedding_neardup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return embedding_neardup_pairs(emb, threshold=0.45)
+    return embedding_neardup_pairs(emb, threshold=0.45, mode="lsh", dim=64)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Multi-table hyperplane-LSH approximate top-5 (rows-only: the bucketed
-    candidate set is probabilistic by design, no SQL oracle)."""
+    """Multi-table LSH approximate top-5 with axis-sign planes — the bucket
+    assignment is pure sign arithmetic, so the DuckDB oracle reproduces the
+    candidate set (and therefore the ranking) exactly."""
     from dedup.similarity import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return lsh_topk(emb, k=5).select(
+    return lsh_topk(emb, k=5, dim=64, planes="axis").select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
     )
 
 
 def q_doc_fingerprints(spark, sf_dir):
-    """Winnowing-style document fingerprints (rows-only; rolling-hash minima
-    are not SQL-expressible)."""
-    from dedup.textfns import make_fingerprint_udf
+    """Winnowing document fingerprints (per-window rolling minima — real
+    positional coverage, detects containment); pure JVM expressions,
+    mirrored bit-for-bit by the DuckDB oracle."""
+    from dedup.textfns import winnow_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    udf = make_fingerprint_udf(w=16, n_keep=8)
-    return docs.select("doc_id", F.explode(udf(F.col("text"))).alias("fp_hash"))
+    return winnow_fingerprints(docs, k=16, w=8)
 
 
 def q_media_dedup(spark, sf_dir):
-    """Multimodal plumbing: decode-stub features + exact-dup grouping over a
-    deterministic synthetic media table (rows-only; binary UDF pipeline)."""
-    from dedup.multimodal import decode_media, media_exact_dups, synth_media
+    """Multimodal plumbing: binary media derived from the driver's documents
+    parquet (planted every-7th duplicates), decoded via the real mapInPandas
+    feature pipeline, grouped by content hash; oracled via md5."""
+    from dedup.driver_tables import derive_media
+    from dedup.multimodal import decode_media, media_exact_dups
 
-    media = synth_media(spark, n=64)
-    return media_exact_dups(decode_media(media)).orderBy("media_id")
+    media = derive_media(spark, sf_dir)
+    return media_exact_dups(decode_media(media))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -348,6 +365,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — same column names, same values
 # ---------------------------------------------------------------------------
+
+#: DuckDB mirror of dedup.minhash.NORM_PATTERN normalization
+_NORM_SQL = r"regexp_replace(lower(doc), '[\s\x1c-\x1f]+', ' ', 'g')"
+
+
+def _neardup_minhash_oracle() -> str:
+    """True char-9-gram Jaccard over all conversation pairs ≥ 0.7 — what the
+    Spark side's LSH + exact-verify computes (see q_neardup_docs_minhash)."""
+    return _TC + f""",
+nrm AS (SELECT conv_id, {_NORM_SQL} AS nd FROM conversations),
+sh AS (
+    SELECT DISTINCT conv_id, substr(nd, i, 9) AS g
+    FROM nrm, unnest(generate_series(1, greatest(length(nd) - 8, 1))) AS t(i)
+),
+cnt AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY conv_id),
+inter AS (
+    SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.g = b.g AND a.conv_id < b.conv_id
+    GROUP BY 1, 2
+)
+SELECT conv_a, conv_b, round(i / (ca.n + cb.n - i), 6) AS similarity
+FROM inter JOIN cnt ca ON conv_a = ca.conv_id JOIN cnt cb ON conv_b = cb.conv_id
+WHERE i / (ca.n + cb.n - i) >= 0.7
+"""
+
+
+def _span_pairs_oracle() -> str:
+    """LCS(a, b) ≥ 150 ⟺ the normalized docs share a 150-char gram."""
+    return _TC + f""",
+nrm AS (SELECT conv_id, {_NORM_SQL} AS nd FROM conversations),
+g AS (
+    SELECT DISTINCT conv_id, substr(nd, i, 150) AS g
+    FROM nrm, unnest(generate_series(1, length(nd) - 149)) AS t(i)
+    WHERE length(nd) >= 150
+)
+SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+FROM g a JOIN g b ON a.g = b.g AND a.conv_id < b.conv_id
+"""
+
+
+def _simhash_turn_pairs_oracle() -> str:
+    """Recomputes the md5-gram SimHash chunks bit-for-bit (see
+    dedup.simhash.turn_simhash_md5_sql), then pairs turns sharing ≥1 chunk
+    (pigeonhole: Hamming ≤ 3 over 4 chunks ⇒ one chunk equal) with total
+    Hamming ≤ 3."""
+    from dedup.simhash import turn_simhash_md5_sql
+
+    ham = " + ".join(
+        f"bit_count(xor(CAST(a.c{c} AS BIGINT), CAST(b.c{c} AS BIGINT)))"
+        for c in range(4)
+    )
+    chunk_eq = " OR ".join(f"a.c{c} = b.c{c}" for c in range(4))
+    return (
+        _T
+        + turn_simhash_md5_sql()
+        + f"""
+SELECT a.conv_id AS conv_a, a.turn_idx AS turn_a,
+       b.conv_id AS conv_b, b.turn_idx AS turn_b,
+       CAST({ham} AS INT) AS hamming
+FROM tsim a JOIN tsim b
+  ON a.conv_id < b.conv_id AND ({chunk_eq})
+WHERE {ham} <= 3
+"""
+    )
+
+
+def _axis_buckets_sql(n_bits: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+    """CTE ``b(vec_id, table_id, bucket)`` mirroring the Spark axis-sign
+    buckets (dedup.similarity.axis_bucket_exprs)."""
+    from dedup.similarity import axis_bucket_sql
+
+    exprs = axis_bucket_sql("v", dim, n_bits, n_tables)
+    unions = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, {e} AS bucket FROM emb"
+        for t, e in enumerate(exprs)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+b AS (
+    {unions}
+)"""
+
+
+def _ann_lsh_topk_oracle() -> str:
+    return (
+        _axis_buckets_sql()
+        + """,
+cand AS (
+    SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+    FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+    WHERE x.vec_id != y.vec_id
+),
+sims AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(q.v, e.v) AS sim
+    FROM cand JOIN emb q ON query_id = q.vec_id JOIN emb e ON neighbor_id = e.vec_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= 5
+"""
+    )
+
+
+def _embedding_neardup_oracle() -> str:
+    return (
+        _axis_buckets_sql()
+        + """,
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+    WHERE x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(a.v, e.v), 6) AS sim
+FROM cand JOIN emb a ON id_a = a.vec_id JOIN emb e ON id_b = e.vec_id
+WHERE round(list_cosine_similarity(a.v, e.v), 6) >= 0.45
+"""
+    )
+
+
+def _doc_fingerprints_oracle() -> str:
+    """Winnowing mirror: md5 per 16-gram of the normalized text, min over
+    each 8-gram window (key = hash || zero-padded pos breaks ties toward
+    the smaller position), distinct winners."""
+    norm = _NORM_SQL.replace("(doc)", "(text)")
+    return f"""
+WITH nrm AS (SELECT doc_id, {norm} AS nd FROM documents),
+keyed AS (
+    SELECT doc_id, i AS pos,
+           md5(substr(nd, i, 16)) || lpad(CAST(i AS VARCHAR), 10, '0') AS key
+    FROM nrm, unnest(generate_series(1, greatest(length(nd) - 15, 1))) AS t(i)
+),
+sel AS (
+    SELECT doc_id,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS winner
+    FROM keyed
+)
+SELECT DISTINCT doc_id, CAST(substr(winner, 33, 10) AS INT) AS pos,
+       substr(winner, 1, 32) AS fp_hash
+FROM sel
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -506,18 +667,11 @@ def oracle_sql() -> dict[str, str]:
                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bigint) AS n_bpe_tokens
         FROM scored
         """,
-        "embedding_neardup": """
-        WITH emb AS (
-            SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        FROM emb a, emb b
-        WHERE a.vec_id < b.vec_id
-          AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
-        """,
-        # neardup_minhash / simhash_turn_pairs / span_pairs / ann_lsh_topk /
-        # doc_fingerprints / media_dedup: no SQL oracle — MinHash/SimHash/
-        # rolling-hash/hyperplane-LSH signatures and binary UDF pipelines are
-        # not SQL-expressible; driver records the weaker rows-only check.
+        "neardup_minhash": _neardup_minhash_oracle(),
+        "simhash_turn_pairs": _simhash_turn_pairs_oracle(),
+        "span_pairs": _span_pairs_oracle(),
+        "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "doc_fingerprints": _doc_fingerprints_oracle(),
+        "media_dedup": MEDIA_DUPS_SQL,
     }

@@ -82,6 +82,61 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table (media_id, kind, data, mime) with planted
+    exact duplicates: every 7th document's payload reappears under
+    media_id = doc_id + 1_000_000 (same kind). The payload is the utf-8
+    encoding of the text — opaque bytes to the decode stage, md5-checkable
+    by the DuckDB oracle (md5(blob) = md5(text) for ascii text).
+    """
+    docs = load_documents(spark, sf_dir)
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        mime.alias("mime"),
+    )
+    dup = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        mime.alias("mime"),
+    )
+    return base.unionByName(dup)
+
+
+#: DuckDB mirror of derive_media + exact-dup grouping (content_hash = md5).
+MEDIA_DUPS_SQL = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END,
+           text
+    FROM documents WHERE doc_id % 7 = 0
+),
+h AS (
+    SELECT media_id, kind, md5(text) AS content_hash,
+           count(*) OVER (PARTITION BY md5(text)) AS n
+    FROM m
+)
+SELECT media_id, kind, content_hash FROM h WHERE n > 1
+"""
+
+
 #: DuckDB CTE producing the identical transcripts table. Interpolate with
 #: .format() — no user input ever reaches this string.
 TRANSCRIPTS_SQL = """

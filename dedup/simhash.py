@@ -101,6 +101,129 @@ def with_turn_simhash(turns: DataFrame, cfg: DedupConfig | None = None) -> DataF
     )
 
 
+def with_turn_simhash_md5(
+    turns: DataFrame, cfg: DedupConfig | None = None, gram_k: int = 4
+) -> DataFrame:
+    """SQL-mirrorable per-turn SimHash, pure JVM expressions (no Python).
+
+    Same SimHash semantics as the numpy kernel (bit votes over the char-
+    ``gram_k``-gram MULTISET of hard-normalized text) but with md5 as the
+    gram hash, so a DuckDB oracle can recompute the fingerprint bit-for-bit
+    (md5 hex agrees across engines; the numpy kernel's splitmix64 rolling
+    hash needs uint64 wraparound arithmetic SQL does not have). The 64-bit
+    fingerprint is assembled from the first 16 hex chars of each gram's
+    md5: chunk c (of 4) takes hex chars [4c+1, 4c+4], bit b of chunk c is
+    floor(val_c / 2^b) % 2 — integer arithmetic identical in Spark and
+    DuckDB, no signed-shift pitfalls.
+
+    Slower than the batched numpy kernel (one md5 per gram) — the numpy
+    path remains the pipeline default; this variant is the driver-oracle
+    surface exercising the same banding/pairing dataflow downstream.
+    Output: (conv_id, turn_idx, simhash) — same contract as
+    ``with_turn_simhash``, so ``simhash_turn_pairs`` runs unchanged.
+    """
+    cfg = cfg or DedupConfig()
+    ht = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    grams = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("ht") - F.lit(gram_k - 1), F.lit(1))
+            ),
+            lambda i: F.col("ht").substr(i, F.lit(gram_k)),
+        )
+    )
+    g = (
+        turns.where(F.length(F.coalesce("text", F.lit(""))) > 0)
+        .select("conv_id", "turn_idx", ht.alias("ht"))
+        .select("conv_id", "turn_idx", grams.alias("g"))
+        .withColumn("h", F.md5("g"))
+    )
+    for c in range(4):
+        g = g.withColumn(
+            f"v{c}", F.conv(F.substring("h", 4 * c + 1, 4), 16, 10).cast("int")
+        )
+    votes = [
+        F.sum((F.floor(F.col(f"v{c}") / F.lit(1 << b)) % 2).cast("long")).alias(
+            f"s{c}_{b}"
+        )
+        for c in range(4)
+        for b in range(16)
+    ]
+    agg = g.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).alias("n"), *votes
+    )
+    chunk = [
+        sum(
+            (
+                (F.col(f"s{c}_{b}") * 2 > F.col("n")).cast("long") * F.lit(1 << b)
+                for b in range(16)
+            ),
+            start=F.lit(0).cast("long"),
+        )
+        for c in range(4)
+    ]
+    fp = (
+        F.shiftleft(chunk[3], 48)
+        .bitwiseOR(F.shiftleft(chunk[2], 32))
+        .bitwiseOR(F.shiftleft(chunk[1], 16))
+        .bitwiseOR(chunk[0])
+    )
+    return agg.select("conv_id", "turn_idx", fp.alias("simhash"))
+
+
+def turn_simhash_md5_sql(gram_k: int = 4) -> str:
+    """DuckDB CTE fragment mirroring ``with_turn_simhash_md5`` bit-for-bit.
+
+    Appends after a ``transcripts`` CTE; defines ``tsim(conv_id, turn_idx,
+    c0, c1, c2, c3)`` — the four 16-bit SimHash chunks. The arithmetic is
+    deliberately shift-free (floor-divide + mod, CASE sums) so signed-shift
+    semantics can't diverge between engines.
+    """
+    vals = ",\n           ".join(
+        f"CAST('0x' || substr(h, {4 * c + 1}, 4) AS INT) AS v{c}" for c in range(4)
+    )
+    votes = ",\n           ".join(
+        f"sum(CAST(floor(v{c} / {1 << b}) AS BIGINT) % 2) AS s{c}_{b}"
+        for c in range(4)
+        for b in range(16)
+    )
+    chunks = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN 2 * s{c}_{b} > n THEN {1 << b} ELSE 0 END" for b in range(16)
+        )
+        + f") AS c{c}"
+        for c in range(4)
+    )
+    return f""",
+tnorm AS (
+    SELECT conv_id, turn_idx,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ht
+    FROM transcripts WHERE length(text) > 0
+),
+tgrams AS (
+    SELECT conv_id, turn_idx, md5(substr(ht, i, {gram_k})) AS h
+    FROM tnorm,
+         unnest(generate_series(1, greatest(length(ht) - {gram_k - 1}, 1))) AS t(i)
+),
+tvals AS (
+    SELECT conv_id, turn_idx,
+           {vals}
+    FROM tgrams
+),
+tvotes AS (
+    SELECT conv_id, turn_idx, count(*) AS n,
+           {votes}
+    FROM tvals GROUP BY 1, 2
+),
+tsim AS (
+    SELECT conv_id, turn_idx,
+           {chunks}
+    FROM tvotes
+)
+"""
+
+
 def simhash_turn_pairs(
     turns_sh: DataFrame, cfg: DedupConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:

@@ -94,18 +94,85 @@ def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def make_fingerprint_udf(w: int = 32, n_keep: int = 8):
-    """Winnowing-style document fingerprint: the n_keep smallest mixed
-    rolling-hash values of w-char windows — a compact content signature
-    whose overlap estimates containment (rows-only; not SQL-expressible)."""
+    """BOTTOM-K SKETCH document fingerprint: the n_keep smallest mixed
+    rolling-hash values of w-char windows. This is a resemblance estimator
+    (like one-permutation MinHash), NOT winnowing — it has no positional
+    coverage, so it cannot detect containment; use ``winnow_fingerprints``
+    for that."""
     from dedup.minhash import py_normalize, shingle_hashes
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fingerprint_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            h = shingle_hashes(py_normalize(t or ""), w)
-            sel = np.sort(h)[:n_keep]
-            out.append(sel.astype(np.int64))
+            h = shingle_hashes(py_normalize(t or ""), w)  # unique + sorted
+            out.append(h[:n_keep].astype(np.int64))
         return pd.Series(out)
 
     return fingerprint_udf
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Real winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every k-char
+    gram of the normalized text, slide a window of ``w`` consecutive gram
+    hashes, keep each window's minimum — ties broken toward the smallest
+    position by suffixing the zero-padded position to the hash, making the
+    per-window key unique. Distinct selected (position, hash) rows are the
+    fingerprint set.
+
+    Guarantee: any shared substring of length ≥ k + w - 1 yields at least
+    one shared fingerprint hash — positional coverage, which is what makes
+    the sketch detect CONTAINMENT (doc-inside-doc), not just resemblance.
+
+    Entirely JVM expressions (md5 per gram + one window min — no Python),
+    and bit-for-bit mirrorable in DuckDB SQL (the driver oracle). Tail
+    windows are clipped (ROWS BETWEEN CURRENT AND w-1 FOLLOWING shrinks at
+    the end) identically in both engines; docs shorter than k contribute
+    one whole-text gram, so every doc has ≥ 1 fingerprint.
+
+    Returns (id_col, pos, fp_hash).
+    """
+    from pyspark.sql import Window
+
+    from dedup.minhash import NORM_PATTERN
+
+    nd = F.regexp_replace(F.lower(F.col(text_col)), NORM_PATTERN, " ")
+    grams = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("nd") - F.lit(k - 1), F.lit(1))),
+            lambda i: F.struct(
+                i.alias("pos"), F.col("nd").substr(i, F.lit(k)).alias("g")
+            ),
+        )
+    )
+    keyed = (
+        docs.select(id_col, nd.alias("nd"))
+        .select(id_col, grams.alias("gp"))
+        .select(
+            id_col,
+            F.col("gp.pos").alias("pos"),
+            F.concat(
+                F.md5("gp.g"), F.lpad(F.col("gp.pos").cast("string"), 10, "0")
+            ).alias("key"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        keyed.withColumn("winner", F.min("key").over(win))
+        .select(
+            id_col,
+            F.substring("winner", 33, 10).cast("int").alias("pos"),
+            F.substring("winner", 1, 32).alias("fp_hash"),
+        )
+        .dropDuplicates([id_col, "pos"])
+    )

@@ -73,14 +73,15 @@ def verify_pairs(
 
         @F.pandas_udf(T.DoubleType())
         def jac(doc_a: pd.Series, doc_b: pd.Series) -> pd.Series:
-            import re
-
-            from dedup.minhash import shingle_hashes
+            from dedup.minhash import py_normalize, shingle_hashes
 
             out = np.empty(len(doc_a))
             for i, (x, y) in enumerate(zip(doc_a, doc_b)):
-                sa = shingle_hashes(re.sub(r"\s+", " ", (x or "").lower()), k)
-                sb = shingle_hashes(re.sub(r"\s+", " ", (y or "").lower()), k)
+                # py_normalize — the SAME normalization the signature tier
+                # shingles under (incl. the \x1c-\x1f separator class), so
+                # exact-verify Jaccard is the quantity MinHash estimates
+                sa = shingle_hashes(py_normalize(x or ""), k)
+                sb = shingle_hashes(py_normalize(y or ""), k)
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 out[i] = inter / union if union else 1.0
