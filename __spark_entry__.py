@@ -153,6 +153,21 @@ def q_delete_rewrite(spark, sf_dir):
     return kept.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
 
 
+def q_duplicate_report(spark, sf_dir):
+    """S9+H4+H5+H6+A3+A5: human-formatted duplicate report — conv_id padded
+    to the global max id width (A3 running max), per-cluster width (A5),
+    human filesize (H5), formatted mtime (H6) — over exact-dup clusters."""
+    from dedup.cc import connected_components
+    from dedup.exact import exact_pairs
+    from dedup.keep import formatted_report, select_representatives
+
+    conv = _conversations(spark, sf_dir)
+    pairs = exact_pairs(conv, DedupConfig(strict=True))
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    rep = select_representatives(cc, conv, policy="first_id")
+    return formatted_report(rep, conv)
+
+
 def q_token_stats(spark, sf_dir):
     """Text analysis: whitespace token counts + char counts per document."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -343,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_clusters": q_prefix_dup_clusters,
         "block_candidates": q_block_candidates,
         "keep_policy": q_keep_policy,
+        "duplicate_report": q_duplicate_report,
         "min_size_filter": q_min_size_filter,
         "tool_filter": q_tool_filter,
         "turn_depth_bounds": q_turn_depth_bounds,
@@ -557,6 +573,41 @@ def oracle_sql() -> dict[str, str]:
                conv_id = min(conv_id) OVER (PARTITION BY n_turns, total_chars, h)
                    AS is_representative
         FROM dup WHERE blk_n > 1 AND grp_n > 1
+        """,
+        "duplicate_report": _TC
+        + """
+        , dup AS (
+            SELECT conv_id, total_chars, first_ts, md5(doc) AS h,
+                   count(*) OVER (PARTITION BY n_turns, total_chars, md5(doc)) AS grp_n,
+                   count(*) OVER (PARTITION BY n_turns, total_chars) AS blk_n,
+                   n_turns
+            FROM conversations
+        ),
+        clus AS (
+            SELECT conv_id, total_chars, first_ts,
+                   min(conv_id) OVER (PARTITION BY n_turns, total_chars, h)
+                       AS cluster_id,
+                   conv_id = min(conv_id) OVER (PARTITION BY n_turns, total_chars, h)
+                       AS is_representative
+            FROM dup WHERE blk_n > 1 AND grp_n > 1
+        )
+        SELECT cluster_id, conv_id,
+               rpad(conv_id, (SELECT CAST(max(length(conv_id)) AS INT) FROM clus), ' ')
+                   AS conv_id_padded,
+               CAST(max(length(conv_id)) OVER (PARTITION BY cluster_id) AS INT)
+                   AS group_width,
+               is_representative,
+               CASE WHEN total_chars >= 1e12
+                        THEN CAST(round(total_chars / 1e12, 1) AS VARCHAR) || ' TB'
+                    WHEN total_chars >= 1e9
+                        THEN CAST(round(total_chars / 1e9, 1) AS VARCHAR) || ' GB'
+                    WHEN total_chars >= 1e6
+                        THEN CAST(round(total_chars / 1e6, 1) AS VARCHAR) || ' MB'
+                    WHEN total_chars >= 1e3
+                        THEN CAST(round(total_chars / 1e3, 1) AS VARCHAR) || ' KB'
+                    ELSE CAST(total_chars AS VARCHAR) || ' B' END AS size_h,
+               strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS mtime_h
+        FROM clus
         """,
         "min_size_filter": _TC
         + "SELECT conv_id, total_chars FROM conversations WHERE total_chars >= 300",

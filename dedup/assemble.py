@@ -49,7 +49,38 @@ def turn_filters(cfg: DedupConfig) -> Column | None:
     return out
 
 
-def assemble_conversations(turns: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def reject_observation(turns: DataFrame, cfg: DedupConfig):
+    """S8: error-tolerant ingest WITH accounting. The reference silently
+    drops unreadable entries (reference: /root/reference/src/scanner.rs:97,102);
+    we count what is dropped or repaired, and we do it with ``observe`` so
+    the counts are collected DURING the assemble action — no extra scan of
+    the corpus, which matters when the corpus is 100 TB.
+
+    Returns (observed_turns, observation): rows with null conv_id/turn_idx
+    are DROPPED (they cannot be assembled deterministically), null text is
+    repaired to '' downstream; both are counted, along with rows removed by
+    the tool/turn_idx predicates.
+    """
+    from pyspark.sql import Observation
+
+    pred = turn_filters(cfg)
+    obs = Observation("ingest_rejects")
+    turns = turns.observe(
+        obs,
+        F.count(F.lit(1)).alias("raw_rows"),
+        F.sum(F.col("conv_id").isNull().cast("long")).alias("null_conv_id"),
+        F.sum(F.col("turn_idx").isNull().cast("long")).alias("null_turn_idx"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text_repaired"),
+        F.sum((~F.coalesce(pred, F.lit(True))).cast("long")).alias("filtered_out")
+        if pred is not None
+        else F.lit(0).cast("long").alias("filtered_out"),
+    )
+    return turns, obs
+
+
+def assemble_conversations(
+    turns: DataFrame, cfg: DedupConfig | None = None, observe_rejects: bool = False
+):
     """turns → conversations(conv_id, n_turns, total_chars, first_ts, last_ts, doc).
 
     The per-turn order invariant: ``doc`` is the turn texts joined by
@@ -58,8 +89,18 @@ def assemble_conversations(turns: DataFrame, cfg: DedupConfig | None = None) -> 
 
     ``total_chars`` counts text characters only (excludes separators), the
     analog of file size (reference: /root/reference/src/fileinfo.rs:21).
+
+    ``observe_rejects=True`` returns (conversations, Observation) — the S8
+    ingest-reject counts, filled in when the first action runs.
     """
     cfg = cfg or DedupConfig()
+    obs = None
+    if observe_rejects:
+        turns, obs = reject_observation(turns, cfg)
+    # rows without a conversation key or turn position cannot be assembled
+    # deterministically — dropped (and counted by the observation above),
+    # unlike the reference's uncounted filter_map(Result::ok)
+    turns = turns.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     pred = turn_filters(cfg)
     if pred is not None:
         turns = turns.where(pred)
@@ -90,7 +131,7 @@ def assemble_conversations(turns: DataFrame, cfg: DedupConfig | None = None) -> 
         conv = conv.where(F.col("total_chars") >= F.lit(cfg.min_size))
     else:
         conv = conv.where(F.col("total_chars") >= F.lit(1))
-    return conv
+    return (conv, obs) if observe_rejects else conv
 
 
 def explode_doc(conversations: DataFrame) -> DataFrame:

@@ -12,15 +12,39 @@ become one frozen dataclass. Key departures from the reference, by design:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+
+#: byte-size literal multipliers (H7 — reference: src/params.rs:42-50 parses
+#: "100B/1K/2M/3G/4T" style literals via the bytesize crate: SI decimal for
+#: kb/mb/..., binary for kib/mib/...).
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "k": 10**3, "kb": 10**3, "kib": 2**10,
+    "m": 10**6, "mb": 10**6, "mib": 2**20,
+    "g": 10**9, "gb": 10**9, "gib": 2**30,
+    "t": 10**12, "tb": 10**12, "tib": 2**40,
+}
+
+
+def parse_size(value: int | str) -> int:
+    """'100kb' → 100_000; ints pass through. Case-insensitive, optional
+    whitespace between number and unit (H7)."""
+    if isinstance(value, int):
+        return value
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]*)\s*", value)
+    if not m or m.group(2).lower() not in _SIZE_UNITS:
+        raise ValueError(f"unparseable size literal: {value!r}")
+    return int(float(m.group(1)) * _SIZE_UNITS[m.group(2).lower()])
 
 
 @dataclass(frozen=True)
 class DedupConfig:
     # ---- filters (reference: src/params.rs, src/scanner.rs) -------------
-    #: minimum assembled-conversation size in chars; the reference default is
-    #: 1 byte, i.e. empty files never dedup (src/params.rs:22, scanner.rs:103).
-    min_size: int = 1
+    #: minimum assembled-conversation size in chars; accepts an int or a
+    #: byte-size literal ("100kb"). The reference default is 1 byte, i.e.
+    #: empty files never dedup (src/params.rs:22, scanner.rs:103).
+    min_size: int | str = 1
     #: include-only these tool labels (≈ --types, src/scanner.rs:34-38).
     include_tools: tuple[str, ...] = ()
     #: drop these tool labels (≈ --exclude-types, src/scanner.rs:40-43).
@@ -81,6 +105,7 @@ class DedupConfig:
     cc_max_iters: int = 25
 
     def __post_init__(self) -> None:
+        object.__setattr__(self, "min_size", parse_size(self.min_size))
         if self.num_perm != self.lsh_bands * self.lsh_rows:
             raise ValueError(
                 f"num_perm ({self.num_perm}) must equal "

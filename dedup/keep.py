@@ -70,3 +70,54 @@ def duplicate_report(clusters_with_rep: DataFrame) -> DataFrame:
     return clusters_with_rep.select(
         "cluster_id", "conv_id", "is_representative", "first_ts", "total_chars"
     ).orderBy("cluster_id", "conv_id")
+
+
+def human_size(col) -> "F.Column":
+    """H5: human filesize string, SI decimal units (reference:
+    /root/reference/src/formatter.rs:28-30 — the bytesize crate's display).
+    Pure CASE/round/concat — SQL-mirrorable."""
+    c = col.cast("double")
+    return (
+        F.when(c >= 1e12, F.concat(F.round(c / 1e12, 1).cast("string"), F.lit(" TB")))
+        .when(c >= 1e9, F.concat(F.round(c / 1e9, 1).cast("string"), F.lit(" GB")))
+        .when(c >= 1e6, F.concat(F.round(c / 1e6, 1).cast("string"), F.lit(" MB")))
+        .when(c >= 1e3, F.concat(F.round(c / 1e3, 1).cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(col.cast("long").cast("string"), F.lit(" B")))
+    )
+
+
+def formatted_report(clusters_with_rep: DataFrame, conversations: DataFrame) -> DataFrame:
+    """Human-readable report rows — the reference's formatter/interactive
+    display logic as columns (H4 padded id, H5 human size, H6 mtime format,
+    A3 global max display width, A5 per-group max width):
+
+    - ``conv_id_padded``: conv_id right-padded to the GLOBAL max id width —
+      A3's lock-free running max (reference: /root/reference/src/
+      processor.rs:82-86) is just ``max(length(conv_id))``, computed as a
+      1-row agg broadcast back (a global window would single-partition the
+      sort at scale; a broadcast nested loop of one row is free;
+      H4 pad: /root/reference/src/formatter.rs:15-26);
+    - ``group_width``: per-cluster max width (A5 — reference:
+      /root/reference/src/interactive.rs:33-37), a plain window max;
+    - ``size_h``: human filesize (H5), ``mtime_h``: formatted first_ts (H6,
+      reference: /root/reference/src/formatter.rs:32-35).
+    """
+    meta = conversations.select("conv_id", "first_ts", "total_chars")
+    rows = clusters_with_rep.select("cluster_id", "conv_id", "is_representative").join(
+        meta, "conv_id", "left"
+    )
+    width = rows.agg(F.max(F.length("conv_id")).cast("int").alias("_w"))
+    gw = Window.partitionBy("cluster_id")
+    return (
+        rows.join(F.broadcast(width))
+        .select(
+            "cluster_id",
+            "conv_id",
+            F.expr("rpad(conv_id, _w, ' ')").alias("conv_id_padded"),
+            F.max(F.length("conv_id")).over(gw).cast("int").alias("group_width"),
+            "is_representative",
+            human_size(F.col("total_chars")).alias("size_h"),
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("mtime_h"),
+        )
+        .orderBy("cluster_id", "conv_id")
+    )

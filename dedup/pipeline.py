@@ -149,7 +149,17 @@ class DedupPipeline:
         metrics: dict = {}
         _pre_ids = persistent_rdd_ids(self.spark)
 
-        conv = self._materialize("conversations", assemble_conversations(turns, cfg))
+        # S8 ingest-reject accounting rides the assemble action via observe()
+        # — no extra corpus scan; skipped on resume (the action never fires)
+        rej_obs = None
+        if self.tier_metrics and not self._done("conversations"):
+            conv_df, rej_obs = assemble_conversations(turns, cfg, observe_rejects=True)
+        else:
+            conv_df = assemble_conversations(turns, cfg)
+        conv = self._materialize("conversations", conv_df)
+        if rej_obs is not None:
+            metrics["ingest_rejects"] = rej_obs.get
+            self.log(f"ingest rejects: {metrics['ingest_rejects']}")
 
         sigs = self._materialize(
             "signatures", with_minhash(conv, cfg).select("conv_id", "minhash")

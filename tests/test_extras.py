@@ -249,3 +249,78 @@ def test_simhash_md5_variant_same_pairs_as_numpy(spark):
         assert ("a", 0, "b", 0) in got[name], name
         assert ("a", 1, "b", 1) in got[name], name
         assert not any("z" in (p[0], p[2]) for p in got[name]), name
+
+
+def test_parse_size_literals():
+    """H7 (reference src/params.rs:42-50): byte-size literals."""
+    import pytest as _pytest
+
+    from dedup.config import DedupConfig, parse_size
+
+    assert parse_size(100) == 100
+    assert parse_size("100b") == 100
+    assert parse_size("1k") == 1000
+    assert parse_size("100KB") == 100_000
+    assert parse_size("2MiB") == 2 * 1024 * 1024
+    assert parse_size("1.5gb") == 1_500_000_000
+    assert parse_size("3t") == 3 * 10**12
+    with _pytest.raises(ValueError):
+        parse_size("12 parsecs")
+    assert DedupConfig(min_size="2kb").min_size == 2000
+
+
+def test_ingest_reject_metrics(spark):
+    """S8: dropped/repaired rows are counted (via observe — no extra scan),
+    unlike the reference's silent filter_map(Result::ok)."""
+    import datetime as dt
+
+    from dedup.assemble import assemble_conversations
+    from dedup.config import DedupConfig
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", 0, "user", "hello", "t1", ts),
+        ("a", 1, "user", None, "t1", ts),       # null text: repaired to ''
+        (None, 0, "user", "orphan", "t1", ts),  # null conv_id: dropped
+        ("b", None, "user", "no idx", "t1", ts),  # null turn_idx: dropped
+        ("c", 0, "user", "excluded tool", "bad", ts),  # filtered out
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    conv, obs = assemble_conversations(
+        df, DedupConfig(exclude_tools=("bad",)), observe_rejects=True
+    )
+    got = {r["conv_id"] for r in conv.collect()}
+    assert got == {"a"}
+    m = obs.get
+    assert m["raw_rows"] == 5
+    assert m["null_conv_id"] == 1
+    assert m["null_turn_idx"] == 1
+    assert m["null_text_repaired"] == 1
+    assert m["filtered_out"] == 1
+
+
+def test_formatted_report(spark):
+    """H4/H5/A3/A5: padded ids, human sizes, global + per-group widths."""
+    import datetime as dt
+
+    from dedup.keep import formatted_report
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5)
+    clusters = spark.createDataFrame(
+        [("c1", "conv_tiny", True), ("c1", "a_very_long_conv_id", False)],
+        "cluster_id string, conv_id string, is_representative boolean",
+    )
+    conv = spark.createDataFrame(
+        [("conv_tiny", ts, 512), ("a_very_long_conv_id", ts, 2_400_000)],
+        "conv_id string, first_ts timestamp, total_chars long",
+    )
+    rows = {r.conv_id: r for r in formatted_report(clusters, conv).collect()}
+    w = len("a_very_long_conv_id")
+    assert all(len(r.conv_id_padded) == w for r in rows.values())  # A3/H4
+    assert all(r.group_width == w for r in rows.values())  # A5
+    assert rows["conv_tiny"].size_h == "512 B"  # H5
+    assert rows["a_very_long_conv_id"].size_h == "2.4 MB"
+    assert rows["conv_tiny"].mtime_h == "2024-01-02 03:04:05"  # H6
