@@ -61,6 +61,36 @@ def _noop_write(df) -> int:
     return -1
 
 
+def spin_calibration(procs: int, dur: float = 2.0) -> int:
+    """Aggregate iterations of a fixed pure-CPU numpy loop across ``procs``
+    processes — records what the HARDWARE gives N workers at this moment
+    (shared-hypervisor host speed drifts >2x over tens of minutes, and
+    all-core turbo < few-core turbo). Stored in the bench JSON so every
+    BENCH_r{N}.json is self-contained and throughput claims are
+    normalizable after the fact."""
+    import multiprocessing as mp
+    import time as _time
+
+    import numpy as np
+
+    def worker(q, dur):
+        a = np.random.default_rng(1).integers(0, 1 << 32, size=1 << 16, dtype=np.uint64)
+        t0 = _time.monotonic()
+        n = 0
+        while _time.monotonic() - t0 < dur:
+            b = a ^ np.uint64(123456789)
+            b ^= b >> np.uint64(30)
+            b *= np.uint64(0xBF58476D1CE4E5B9)
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q, dur)) for _ in range(procs)]
+    [p.start() for p in ps]
+    [p.join() for p in ps]
+    return sum(q.get() for _ in ps)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -102,18 +132,31 @@ def main() -> None:
     turns = spark.read.parquet(corpus_path)
     n_turns = turns.count()
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
-    walls = []
+    # fused + no tier-metric jobs: the benchmark measures the dedup dataflow,
+    # not optional accounting; fused correctness is pinned by
+    # tests/test_pipeline.py::test_fused_run_identical_clusters
+    fused = os.environ.get("SPARK_GRAFT_BENCH_FUSED", "1") == "1"
+    n_procs = int(CPUS) if str(CPUS).isdigit() else (os.cpu_count() or 8)
+    extras["spin_iters_before"] = spin_calibration(n_procs)
+    walls, stage_walls = [], []
     for _ in range(reps):
         t0 = time.monotonic()
-        result = DedupPipeline(spark, DedupConfig()).run(turns)
+        result = DedupPipeline(
+            spark, DedupConfig(), fused=fused, tier_metrics=not fused
+        ).run(turns)
         _noop_write(result.clusters)
         walls.append(time.monotonic() - t0)
+        stage_walls.append(
+            {s["stage"]: s["seconds"] for s in result.metrics["stages"]}
+        )
         free_all_scratch(spark)
+    extras["spin_iters_after"] = spin_calibration(n_procs)
     timings["pipeline_synth"] = round(min(walls), 3)
     extras["synth_turns"] = n_turns
     extras["throughput_turns_per_sec"] = round(n_turns / timings["pipeline_synth"], 1)
-    if reps > 1:
-        extras["pipeline_synth_runs"] = [round(w, 2) for w in walls]
+    extras["pipeline_synth_runs"] = [round(w, 2) for w in walls]
+    extras["pipeline_stage_walls"] = stage_walls[walls.index(min(walls))]
+    extras["fused"] = fused
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline_synth":
         print(

@@ -77,8 +77,25 @@ def exact_clusters(conversations: DataFrame, cfg: DedupConfig | None = None) -> 
     reference test: src/processor.rs:214-265).
     """
     cfg = cfg or DedupConfig()
-    blocked = prune_singleton_blocks(with_block_key(conversations))
-    hashed = with_exact_hashes(blocked, cfg)
+    # Hashing happens MAP-SIDE, before any shuffle: the reference defers
+    # hashing to multi-member blocks to avoid FILE READS (IO, not CPU —
+    # src/fileinfo.rs:42-48); here the doc bytes are already in hand, and
+    # hashing eagerly lets both downstream shuffles (block window, dup-key
+    # window) carry 32-byte digests instead of whole documents — at corpus
+    # scale that's the difference between shuffling 100 TB twice and
+    # shuffling ~100 GB twice. Singleton-block pruning (F3) still gates the
+    # grouping work exactly as in the reference.
+    skinny = with_exact_hashes(with_block_key(conversations), cfg).select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        "first_ts",
+        "block_key",
+        "prefix_hash",
+        "content_hash",
+    )
+    blocked = prune_singleton_blocks(skinny)
+    hashed = blocked
     dup_key = F.col("content_hash") if cfg.strict else F.col("prefix_hash")
     # Fast mode still blocks by size first, so two convs only group when
     # (n_turns, total_chars, prefix_hash) all agree — exactly the reference's

@@ -19,7 +19,7 @@ Skew strategy (north rule: explicit handling, no silent caps):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
@@ -45,53 +45,78 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig | None = None) -> DataF
     ).select("conv_id", "band.band_id", "band.band_hash")
 
 
+def bucketed_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    member_cols: list[str],
+    cap: int,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE-SHUFFLE candidate pairing, shared by the LSH and SimHash tiers.
+
+    groupBy(bucket) → sorted member-struct array → pair explosion:
+    - buckets ≤ ``cap`` members emit all pairs — via posexplode + slice, so
+      the explosion is row-per-member (each row carries one array copy,
+      ~bytes-per-member × bucket size), never one s² array;
+    - bigger buckets emit O(s) STAR edges around the sort-min member and a
+      row in the overflow metric — never silently dropped.
+
+    Replaces the window-count + self-join formulation, whose physical plan
+    computed the banded table THREE times (two join sides + the anchor
+    path), each with its own exchange and sort — measured 3× slower at
+    sf0.1. Memory bound: one bucket's member array per aggregation row;
+    identical-boilerplate buckets are bounded by the template's copy count
+    (a 10⁶-copy template ⇒ ~tens of MB per array — acceptable; the
+    window formulation is the fallback if a corpus ever breaks this).
+
+    Returns (pairs(a: struct, b: struct), overflow(bucket_cols, bucket_n)),
+    with a < b in member-struct order (first member column ascending).
+    """
+    m = F.struct(*[F.col(c) for c in member_cols])
+    agg = (
+        rows.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list(m)).alias("ms"))
+        .withColumn("s", F.size("ms"))
+        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
+    )
+    if materialize:
+        agg = agg.localCheckpoint()
+    small = agg.where(F.col("s") <= cap)
+    big = agg.where(F.col("s") > cap)
+    pairs_small = small.select(
+        F.posexplode("ms").alias("i", "a"), "ms", "s"
+    ).select("a", F.explode(F.expr("slice(ms, i + 2, s)")).alias("b"))
+    pairs_big = big.select(
+        F.col("ms").getItem(0).alias("a"),
+        F.explode(F.expr("slice(ms, 2, s - 1)")).alias("b"),
+    )
+    overflow = big.select(*bucket_cols, F.col("s").alias("bucket_n"))
+    return pairs_small.unionByName(pairs_big), overflow
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: DedupConfig | None = None, materialize: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (conv_a < conv_b, source='lsh') plus a one-row-per
     overflowed-bucket metrics DataFrame (band_id, band_hash, bucket_n).
 
-    ``materialize`` checkpoints the sized bucket table so the pair join and
-    the overflow metric read it once instead of re-running the signature
-    lineage per consumer (the pair join alone reads it twice).
+    ``materialize`` checkpoints the per-bucket member table so the pair
+    explosion and the overflow metric read one computation of the banding.
     """
     cfg = cfg or DedupConfig()
     buckets = band_buckets(signatures, cfg)
-
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = buckets.withColumn("bucket_n", F.count(F.lit(1)).over(w)).where(
-        F.col("bucket_n") > 1  # singleton buckets can't produce pairs (≈ F3)
+    raw, overflow = bucketed_pairs(
+        buckets,
+        ["band_id", "band_hash"],
+        ["conv_id"],
+        cfg.band_bucket_cap,
+        materialize=materialize,
     )
-    if materialize:
-        sized = sized.localCheckpoint()
-
-    small = sized.where(F.col("bucket_n") <= cfg.band_bucket_cap)
-    big = sized.where(F.col("bucket_n") > cfg.band_bucket_cap)
-
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.conv_id") < F.col("b.conv_id"))
-        .select(
-            F.col("a.conv_id").alias("conv_a"),
-            F.col("b.conv_id").alias("conv_b"),
-        )
-    )
-
-    # mega-bucket overflow path: star edges around the bucket-min member
-    anchor = big.withColumn("anchor", F.min("conv_id").over(w))
-    pairs_big = anchor.where(F.col("conv_id") != F.col("anchor")).select(
-        F.least("conv_id", "anchor").alias("conv_a"),
-        F.greatest("conv_id", "anchor").alias("conv_b"),
-    )
-
     pairs = (
-        pairs_small.unionByName(pairs_big)
+        raw.select(
+            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
+        )
         .dropDuplicates(["conv_a", "conv_b"])
         .withColumn("source", F.lit("lsh"))
-    )
-    overflow = (
-        big.groupBy("band_id", "band_hash")
-        .agg(F.max("bucket_n").alias("bucket_n"))
     )
     return pairs, overflow

@@ -196,7 +196,10 @@ class DedupPipeline:
             )
             if mat:
                 sh = sh.localCheckpoint()
-            pair_dfs.append(simhash_conv_pairs(sh, cfg, materialize=mat))
+            sh_pairs, sh_overflow = simhash_conv_pairs(
+                sh, cfg, materialize=mat, return_overflow=True
+            )
+            pair_dfs.append(sh_pairs)
         all_pairs = pair_dfs[0]
         for p in pair_dfs[1:]:
             all_pairs = all_pairs.unionByName(p)
@@ -219,6 +222,8 @@ class DedupPipeline:
         )
         pairs = self._materialize("pairs", all_pairs)
         overflow_dfs = {"lsh_overflow_buckets": lsh_overflow}
+        if self.enable_simhash:
+            overflow_dfs["simhash_overflow_buckets"] = sh_overflow
 
         cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
         if self.enable_span:

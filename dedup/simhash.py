@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -243,6 +243,8 @@ def simhash_turn_pairs(
     distance to the anchor exceeds the cap contributes no edge; connectivity
     for those flows through the other three chunk tables.
     """
+    from dedup.lsh import bucketed_pairs
+
     cfg = cfg or DedupConfig()
     t = turns_sh.select("conv_id", "turn_idx", "simhash")
     chunks = F.explode(
@@ -261,17 +263,15 @@ def simhash_turn_pairs(
     banded = t.select("conv_id", "turn_idx", "simhash", chunks.alias("c")).select(
         "conv_id", "turn_idx", "simhash", "c.chunk_id", "c.chunk_val"
     )
-    wb = Window.partitionBy("chunk_id", "chunk_val")
-    sized = banded.withColumn("_n", F.count(F.lit(1)).over(wb)).where(
-        F.col("_n") > 1  # singleton buckets can't pair (≈ F3 pruning)
+    raw, overflow = bucketed_pairs(
+        banded,
+        ["chunk_id", "chunk_val"],
+        ["conv_id", "turn_idx", "simhash"],
+        cfg.band_bucket_cap,
+        materialize=False,  # caller materializes the turn-pair table instead
     )
-    small = sized.where(F.col("_n") <= cfg.band_bucket_cap)
-    big = sized.where(F.col("_n") > cfg.band_bucket_cap)
-
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .where(F.col("a.conv_id") < F.col("b.conv_id"))  # cross-conv, canonical
+    pairs = (
+        raw.where(F.col("a.conv_id") != F.col("b.conv_id"))  # cross-conv only
         .select(
             F.col("a.conv_id").alias("conv_a"),
             F.col("a.turn_idx").alias("turn_a"),
@@ -282,31 +282,7 @@ def simhash_turn_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
-    )
-    # mega-bucket overflow: star edges around the bucket-min (conv, turn)
-    anchor_w = wb.orderBy("conv_id", "turn_idx")
-    anchored = big.withColumn(
-        "_a", F.first(F.struct("conv_id", "turn_idx", "simhash")).over(anchor_w)
-    )
-    swap = F.col("conv_id") > F.col("_a.conv_id")
-    pairs_big = (
-        anchored.where(F.col("conv_id") != F.col("_a.conv_id"))
-        .select(
-            F.when(swap, F.col("_a.conv_id")).otherwise(F.col("conv_id")).alias("conv_a"),
-            F.when(swap, F.col("_a.turn_idx")).otherwise(F.col("turn_idx")).alias("turn_a"),
-            F.when(swap, F.col("conv_id")).otherwise(F.col("_a.conv_id")).alias("conv_b"),
-            F.when(swap, F.col("turn_idx")).otherwise(F.col("_a.turn_idx")).alias("turn_b"),
-            F.bit_count(
-                F.col("simhash").bitwiseXOR(F.col("_a.simhash"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
-    )
-    pairs = pairs_small.unionByName(pairs_big).dropDuplicates(
-        ["conv_a", "turn_a", "conv_b", "turn_b"]
-    )
-    overflow = big.groupBy("chunk_id", "chunk_val").agg(
-        F.max("_n").alias("bucket_n")
+        .dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
     )
     return pairs, overflow
 
@@ -317,7 +293,8 @@ def simhash_conv_pairs(
     min_shared_turn_frac: float = 0.8,
     min_matched_turns: int = 2,
     materialize: bool = True,
-) -> DataFrame:
+    return_overflow: bool = False,
+):
     """Lift turn pairs to conversation candidate pairs (source='simhash').
 
     A pair qualifies when matched turns cover ≥ min_shared_turn_frac of
@@ -332,7 +309,7 @@ def simhash_conv_pairs(
     exchange reuse still computes the chunk self-join once per action.
     """
     cfg = cfg or DedupConfig()
-    tp, _overflow = simhash_turn_pairs(turns_sh, cfg)
+    tp, overflow = simhash_turn_pairs(turns_sh, cfg)
     if materialize:
         tp = tp.localCheckpoint()
     n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
@@ -357,4 +334,4 @@ def simhash_conv_pairs(
         )
         .select("conv_a", "conv_b", F.lit("simhash").alias("source"))
     )
-    return out
+    return (out, overflow) if return_overflow else out

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -150,30 +150,31 @@ def span_candidate_pairs(
     ``materialize`` checkpoints the sized anchor table — the anchor UDF runs
     once, not once per consumer (pair join reads twice + overflow metric).
     """
+    from dedup.lsh import bucketed_pairs
+
     cfg = cfg or DedupConfig()
     min_shared = max(2, cfg.min_span_len // (4 * cfg.span_anchor_mod))
     anchors = doc_anchors(conversations, cfg)
 
-    w = Window.partitionBy("anchor_hash")
-    sized = anchors.withColumn("n", F.count(F.lit(1)).over(w)).where(F.col("n") > 1)
-    if materialize:
-        sized = sized.localCheckpoint()
-    hot_cap = cfg.band_bucket_cap
-    small = sized.where(F.col("n") <= hot_cap)
-    big = sized.where(F.col("n") > hot_cap)
-
-    a, b = small.alias("a"), small.alias("b")
+    # one-shuffle bucket pairing (see lsh.bucketed_pairs); hot anchors
+    # (boilerplate) emit star edges + overflow rows instead of O(n²) pairs —
+    # a star edge counts toward shared_anchors like any other co-occurrence
+    raw, overflow = bucketed_pairs(
+        anchors,
+        ["anchor_hash"],
+        ["conv_id"],
+        cfg.band_bucket_cap,
+        materialize=materialize,
+    )
     pairs = (
-        a.join(b, "anchor_hash")
-        .where(F.col("a.conv_id") < F.col("b.conv_id"))
-        .groupBy(
+        raw.select(
             F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
         )
+        .groupBy("conv_a", "conv_b")
         .agg(F.count(F.lit(1)).alias("shared_anchors"))
         .where(F.col("shared_anchors") >= F.lit(min_shared))
         .select("conv_a", "conv_b", F.lit("span").alias("source"))
     )
-    overflow = big.groupBy("anchor_hash").agg(F.max("n").alias("bucket_n"))
     return pairs, overflow
 
 

@@ -93,3 +93,13 @@ def test_checkpoint_resume_byte_identical(spark, turns_df, tmp_path_factory):
         (r.conv_id, r.cluster_id, r.is_representative) for r in r2.clusters.collect()
     )
     assert first == second
+
+
+def test_fused_run_identical_clusters(spark, turns_df, pipeline_run):
+    """fused=True (no tier-internal checkpoints, deferred tier metrics)
+    must produce byte-identical cluster assignments."""
+    fused = DedupPipeline(
+        spark, DedupConfig(), fused=True, tier_metrics=False
+    ).run(turns_df)
+    assert _cluster_map(fused) == _cluster_map(pipeline_run)
+    assert "tier_metrics_skipped" in fused.metrics

@@ -95,3 +95,37 @@ def test_lsh_banding_is_jvm_side(spark):
     plan = _plan(band_buckets(sigs))
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_winnowing_is_jvm_side(spark):
+    """Winnowing must stay in codegen: md5 + window min, no Python eval."""
+    from dedup.textfns import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "abc def ghi " * 40)], "doc_id long, text string")
+    plan = _plan(winnow_fingerprints(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_axis_lsh_neardup_is_jvm_side_no_cartesian(spark):
+    """Axis-sign bucketed embedding near-dup: no Python eval, no all-pairs
+    operator — the plan a 100 TB corpus needs."""
+    from dedup.similarity import embedding_neardup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) - 1.0] * 8) for i in range(20)], "vec_id long, v array<double>"
+    )
+    plan = _plan(embedding_neardup_pairs(emb, threshold=0.9, mode="lsh", dim=8))
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "CartesianProduct", "NestedLoopJoin"):
+        assert bad not in plan, (bad, plan)
+
+
+def test_md5_simhash_is_jvm_side(spark):
+    """The SQL-mirrorable SimHash variant is pure JVM expressions."""
+    from dedup.simhash import with_turn_simhash_md5
+
+    turns = spark.createDataFrame(
+        [("a", 0, "user", "hello world " * 10, "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(with_turn_simhash_md5(turns))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
