@@ -330,6 +330,21 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-10: deterministic coarse codebook (first 16
+    vectors), argmax-dot cell assignment, 4-cell probe, exact cosine
+    rescore — assign/probe/rescore structure of a real IVF index, fully
+    mirrored by the DuckDB oracle."""
+    from dedup.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return ivf_topk(emb, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (per-window rolling minima — real
     positional coverage, detects containment); pure JVM expressions,
@@ -373,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "embedding_neardup": q_embedding_neardup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "media_dedup": q_media_dedup,
     }
@@ -501,6 +517,41 @@ FROM cand JOIN emb a ON id_a = a.vec_id JOIN emb e ON id_b = e.vec_id
 WHERE round(list_cosine_similarity(a.v, e.v), 6) >= 0.45
 """
     )
+
+
+def _ann_ivf_topk_oracle(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
+cents AS (
+    SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {n_centroids}
+),
+ranked AS (
+    SELECT e.vec_id, e.v, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                       c.cent_id) AS crank
+    FROM emb e, cents c
+),
+assign AS (
+    SELECT vec_id AS neighbor_id, v AS nv, cent_id AS cell
+    FROM ranked WHERE crank = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS qv, cent_id AS cell
+    FROM ranked WHERE crank <= {n_probe}
+),
+sims AS (
+    SELECT query_id, neighbor_id, list_cosine_similarity(qv, nv) AS sim
+    FROM probes JOIN assign USING (cell)
+    WHERE query_id != neighbor_id
+)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim, CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+    FROM sims
+) WHERE rank <= {k}
+"""
 
 
 def _doc_fingerprints_oracle() -> str:
@@ -722,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_turn_pairs": _simhash_turn_pairs_oracle(),
         "span_pairs": _span_pairs_oracle(),
         "ann_lsh_topk": _ann_lsh_topk_oracle(),
+        "ann_ivf_topk": _ann_ivf_topk_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "doc_fingerprints": _doc_fingerprints_oracle(),
         "media_dedup": MEDIA_DUPS_SQL,

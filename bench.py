@@ -44,7 +44,9 @@ def synth_corpus_path(sf: float, spark) -> str:
     pipeline is compute-dominated rather than driver/job-latency dominated —
     required for honest two-parallelism scaling numbers — and generated at
     cluster parallelism so corpus creation itself stays O(seconds)."""
-    n_convs = max(200, int(1_000_000 * sf))
+    n_convs = int(
+        os.environ.get("SPARK_GRAFT_SYNTH_CONVS", max(200, int(1_000_000 * sf)))
+    )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     path = f"{base}/dedup_bench_corpus_sf{sf}_s{SEED}_n{n_convs}"
     marker = os.path.join(path, "transcripts", "_SUCCESS")
@@ -61,24 +63,30 @@ def _noop_write(df) -> int:
     return -1
 
 
-def spin_calibration(procs: int, dur: float = 2.0) -> int:
-    """Aggregate iterations of a fixed pure-CPU numpy loop across ``procs``
-    processes — records what the HARDWARE gives N workers at this moment
+def spin_calibration(procs: int, dur: float = 2.0, mem: bool = False) -> int:
+    """Aggregate iterations of a fixed numpy loop across ``procs`` processes
+    — records what the HARDWARE gives N workers at this moment
     (shared-hypervisor host speed drifts >2x over tens of minutes, and
-    all-core turbo < few-core turbo). Stored in the bench JSON so every
-    BENCH_r{N}.json is self-contained and throughput claims are
-    normalizable after the fact."""
+    all-core turbo < few-core turbo). ``mem=True`` runs the same arithmetic
+    over a 64 MiB working set — the shared-memory-bus ceiling, the binding
+    resource for the pipeline's DRAM-streaming phases. Both are stored in
+    the bench JSON so every BENCH_r{N}.json is self-contained and
+    throughput claims are normalizable after the fact."""
     import multiprocessing as mp
     import time as _time
 
     import numpy as np
 
+    size = (1 << 23) if mem else (1 << 16)
+
     def worker(q, dur):
-        a = np.random.default_rng(1).integers(0, 1 << 32, size=1 << 16, dtype=np.uint64)
+        a = np.full(size, 0x9E3779B97F4A7C15, dtype=np.uint64)
+        b = np.empty_like(a)
+        b[:] = a  # touch pages before timing
         t0 = _time.monotonic()
         n = 0
         while _time.monotonic() - t0 < dur:
-            b = a ^ np.uint64(123456789)
+            np.bitwise_xor(a, np.uint64(123456789), out=b)
             b ^= b >> np.uint64(30)
             b *= np.uint64(0xBF58476D1CE4E5B9)
             n += 1
@@ -138,6 +146,7 @@ def main() -> None:
     fused = os.environ.get("SPARK_GRAFT_BENCH_FUSED", "1") == "1"
     n_procs = int(CPUS) if str(CPUS).isdigit() else (os.cpu_count() or 8)
     extras["spin_iters_before"] = spin_calibration(n_procs)
+    extras["spin_mem_iters_before"] = spin_calibration(n_procs, mem=True)
     walls, stage_walls = [], []
     for _ in range(reps):
         t0 = time.monotonic()
@@ -151,6 +160,7 @@ def main() -> None:
         )
         free_all_scratch(spark)
     extras["spin_iters_after"] = spin_calibration(n_procs)
+    extras["spin_mem_iters_after"] = spin_calibration(n_procs, mem=True)
     timings["pipeline_synth"] = round(min(walls), 3)
     extras["synth_turns"] = n_turns
     extras["throughput_turns_per_sec"] = round(n_turns / timings["pipeline_synth"], 1)

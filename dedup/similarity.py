@@ -198,6 +198,56 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-flavored approximate top-k: coarse-quantize every vector to its
+    best centroid (argmax dot product), probe each query against the
+    ``n_probe`` nearest centroid cells, score exact cosine inside the
+    probed cells.
+
+    Centroids are the first ``n_centroids`` vectors by id — a deterministic
+    coarse codebook (real IVF runs k-means; the PARTITIONING structure —
+    assign, probe, rescore — is identical, and determinism is what makes
+    the driver's DuckDB oracle possible). At corpus scale the cell
+    assignment is a broadcast join against the tiny codebook, the inverted
+    index is a shuffle on cell_id, and candidate volume is
+    n_probe/n_centroids of brute force.
+    """
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, "cent_id", _dot(F.col(vec_col), F.col("cv")).alias("cscore")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id"))
+    ranked = scored.withColumn("crank", F.row_number().over(w))
+    assign = ranked.where(F.col("crank") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("cent_id").alias("cell"),
+    )
+    probes = ranked.where(F.col("crank") <= n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("cent_id").alias("cell"),
+    )
+    sims = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("nv")).alias("sim")
+        )
+        # no dedup needed: each neighbor lives in exactly one cell (crank==1)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

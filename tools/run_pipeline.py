@@ -27,7 +27,8 @@ def parse_args(argv):
     p.add_argument("--strict", action="store_true", help="full-content hash exact tier")
     p.add_argument("--keep-policy", default="oldest",
                    choices=["oldest", "newest", "longest", "first_id"])
-    p.add_argument("--min-size", type=int, default=1)
+    p.add_argument("--min-size", default="1",
+                   help="int chars or byte-size literal ('100kb', '2MiB')")
     p.add_argument("--include-tools", default="", help="comma-separated")
     p.add_argument("--exclude-tools", default="", help="comma-separated")
     p.add_argument("--shingle-k", type=int, default=9)
@@ -39,6 +40,9 @@ def parse_args(argv):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--no-span", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="skip tier-internal checkpoints (fastest; tier "
+                        "overflow metrics are skipped)")
     p.add_argument("--apply-delete", action="store_true",
                    help="also write the deduplicated turns table (<output>_turns)")
     return p.parse_args(argv)
@@ -84,15 +88,18 @@ def main(argv=None) -> int:
         enable_span=not args.no_span,
         keep_policy=args.keep_policy,
         log=lambda m: print(f"[dedup] {m}", file=sys.stderr),
+        fused=args.fused,
+        tier_metrics=not args.fused,
     )
     result = pipe.run(turns)
     result.clusters.write.mode("overwrite").parquet(args.output)
     if args.apply_delete:
         kept = apply_delete_rewrite(turns, losers(result.clusters))
         kept.write.mode("overwrite").parquet(args.output + "_turns")
-    print(json.dumps({"stages": result.metrics["stages"],
-                      "lsh_overflow_buckets": result.metrics.get("lsh_overflow_buckets"),
-                      "span_overflow_anchors": result.metrics.get("span_overflow_anchors")}))
+    printable = {
+        k: v for k, v in result.metrics.items() if isinstance(v, (int, str, list, dict))
+    }
+    print(json.dumps(printable, default=str))
     return 0
 
 

@@ -1,0 +1,128 @@
+"""Per-stage two-parallelism A/B: names WHICH pipeline phases scale.
+
+Runs isolated phases of the dedup pipeline on the cached bench corpus at
+local[lo] and local[hi] (interleaved, one Spark session per level per
+round) and prints a per-phase wall table plus the per-phase ratio. This is
+the measured decomposition behind BENCH/BASELINE.md's scaling analysis.
+
+Usage: PYTHONPATH=/root/repo python tools/stage_scaling.py [corpus_dir] [lo] [hi]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PHASES = ("assemble", "signatures", "lsh_pairs", "simhash_udf", "simhash_pairs",
+          "span_anchors", "verify_cc", "full")
+
+
+def run_phases(cpus: int, corpus: str) -> dict[str, float]:
+    """Child-process entry: run each phase once, print one JSON line."""
+    sys.path.insert(0, REPO)
+    from dedup.config import DedupConfig
+    from dedup.session import get_spark
+
+    spark = get_spark(app_name=f"stage-scaling-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    cfg = DedupConfig()
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    from dedup.assemble import assemble_conversations
+    from dedup.cc import connected_components
+    from dedup.exact import exact_pairs
+    from dedup.lsh import candidate_pairs
+    from dedup.minhash import with_minhash
+    from dedup.simhash import simhash_conv_pairs, with_turn_simhash
+    from dedup.suffix import doc_anchors
+    from dedup.verify import verify_pairs
+
+    # warm JVM + python workers with realistic batch volume
+    wm = spark.range(2048 * cpus).selectExpr(
+        "cast(id as string) conv_id",
+        "repeat(concat('warm ', cast(id % 97 as string), ' '), 100) doc",
+    )
+    noop(with_minhash(wm).select("minhash"))
+
+    turns = spark.read.parquet(corpus)
+    walls: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    conv = assemble_conversations(turns, cfg).localCheckpoint()
+    walls["assemble"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    sigs = with_minhash(conv, cfg).select("conv_id", "minhash").localCheckpoint()
+    walls["signatures"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    lsh, _ = candidate_pairs(sigs, cfg, materialize=False)
+    lsh = lsh.localCheckpoint()
+    walls["lsh_pairs"] = time.monotonic() - t0
+
+    par = spark.sparkContext.defaultParallelism
+    t0 = time.monotonic()
+    sh = with_turn_simhash(turns.repartition(par), cfg).select(
+        "conv_id", "turn_idx", "simhash"
+    ).localCheckpoint()
+    walls["simhash_udf"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    shp = simhash_conv_pairs(sh, cfg, materialize=False).localCheckpoint()
+    walls["simhash_pairs"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    noop(doc_anchors(conv, cfg))
+    walls["span_anchors"] = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    pairs = (
+        exact_pairs(conv, cfg).unionByName(lsh).unionByName(shp)
+        .dropDuplicates(["conv_a", "conv_b"]).localCheckpoint()
+    )
+    edges = verify_pairs(pairs, sigs, cfg).localCheckpoint()
+    cc = connected_components(edges.select("conv_a", "conv_b"))
+    noop(cc)
+    walls["verify_cc"] = time.monotonic() - t0
+
+    walls["full"] = sum(walls.values())
+    print("PHASES " + json.dumps(walls), flush=True)
+    spark.stop()
+    return walls
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        run_phases(int(sys.argv[2]), sys.argv[3])
+        return
+    corpus = sys.argv[1] if len(sys.argv) > 1 else (
+        "/dev/shm/dedup_bench_corpus_sf0.1_s42_n100000/transcripts"
+    )
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    def child(cpus):
+        env = dict(os.environ, PYTHONPATH=REPO)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus), corpus],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("PHASES ")][-1]
+        return json.loads(line[len("PHASES "):])
+
+    w_hi, w_lo = child(hi), child(lo)
+    print(f"\n{'phase':<16}{f'local[{lo}]':>12}{f'local[{hi}]':>12}{'ratio':>8}")
+    for ph in PHASES:
+        r = w_lo[ph] / w_hi[ph] if w_hi[ph] else float("nan")
+        print(f"{ph:<16}{w_lo[ph]:>12.2f}{w_hi[ph]:>12.2f}{r:>8.2f}")
+
+
+if __name__ == "__main__":
+    main()
