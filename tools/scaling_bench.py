@@ -95,12 +95,22 @@ def main() -> None:
     # 32 cores and measure scheduler thrash, not scaling.
     n_lo, n_hi = int(os.environ.get("SCALE_N", "4")), int(os.environ.get("SCALE_4N", "16"))
 
+    def robust_ceiling(mem: bool, reps: int = 5) -> float:
+        """Median of per-pair (hi, lo) back-to-back ratios: single 4-second
+        samples on this host are lottery tickets (hypervisor steal spikes
+        swing them >1.5× within a minute), so each ceiling is the median of
+        ``reps`` alternating hi/lo pairs."""
+        ratios = []
+        for _ in range(reps):
+            hi = spin_calibration(n_hi, dur=2.0, mem=mem)
+            lo = spin_calibration(n_lo, dur=2.0, mem=mem)
+            ratios.append(hi / lo)
+        return statistics.median(ratios)
+
     results = []
     for i in range(rounds):
-        cpu_hi, cpu_lo = spin_calibration(n_hi), spin_calibration(n_lo)
-        bw_hi, bw_lo = spin_calibration(n_hi, mem=True), spin_calibration(n_lo, mem=True)
-        hw_ceiling = cpu_hi / cpu_lo   # pure-CPU ceiling (≤ 4.0)
-        bw_ceiling = bw_hi / bw_lo     # memory-bandwidth ceiling (often ≪ 4)
+        hw_ceiling = robust_ceiling(mem=False)  # pure-CPU ceiling (≲ 4)
+        bw_ceiling = robust_ceiling(mem=True)   # memory-bus ceiling (≪ 4)
         r32 = run_bench(n_hi, sf_dir)
         r8 = run_bench(n_lo, sf_dir)
         ratio = r32["throughput_turns_per_sec"] / r8["throughput_turns_per_sec"]
