@@ -133,6 +133,10 @@ def main() -> None:
     best8 = min(r8["queries"]["pipeline_synth"] for _, r8, *_ in results)
     n_turns = results[0][0].get("synth_turns", "?")
 
+    best_round = min(results, key=lambda r: r[0]["queries"]["pipeline_synth"])
+    best_ratio = best_round[2] * 4.0
+    best_ceiling = best_round[4]
+
     rows = "\n".join(
         f"| {i} | {r32['queries']['pipeline_synth']} | {r8['queries']['pipeline_synth']} "
         f"| {hw:.2f} | {bw:.2f} | {eraw:.3f} | {ehw:.3f} | {ebw:.3f} |"
@@ -182,9 +186,9 @@ conservative for the cache-blocked kernels — on a real N→4N-executor
 cluster, where every added node brings its own bus, both collapse to the
 same number and the bracket closes from both sides. Raw median vs an ideal
 4× that this box cannot physically deliver by either resource: {med_raw:.3f}.
-The least-interfered rounds (fastest local[{n_hi}] walls) show the software
-itself reaching throughput ratios of 2.5-2.7× against same-moment cpu
-ceilings of 3.4-3.9×. Best walls: local[{n_hi}] {best32}s, local[{n_lo}] {best8}s.
+The least-interfered round (fastest local[{n_hi}] wall) shows the software
+itself reaching a throughput ratio of {best_ratio:.2f}× against a same-moment
+cpu ceiling of {best_ceiling:.2f}×. Best walls: local[{n_hi}] {best32}s, local[{n_lo}] {best8}s.
 
 Why eff_bw is the transferable number — evidence, not assertion:
 - tools/stage_scaling.py decomposes the pipeline per phase at both levels;
