@@ -108,13 +108,27 @@ def q_keep_policy(spark, sf_dir):
 
 
 def q_min_size_filter(spark, sf_dir):
-    """F1: min-size predicate over assembled conversations."""
+    """F1+H7: min-size predicate over assembled conversations, given as a
+    byte-size literal so the driver path exercises the H7 parser
+    ("300b" → 300 chars)."""
     from dedup.assemble import assemble_conversations
 
-    cfg = DedupConfig(min_size=300)
+    cfg = DedupConfig(min_size="300b")
     return assemble_conversations(derive_transcripts(spark, sf_dir), cfg).select(
         "conv_id", "total_chars"
     )
+
+
+def q_ingest_rejects(spark, sf_dir):
+    """S8: error-tolerant-ingest accounting as a one-row aggregation — the
+    same expressions the pipeline rides on the assemble action via
+    ``observe()`` (dedup.assemble.reject_metrics_exprs), run standalone so
+    the DuckDB oracle can verify the counts."""
+    from dedup.assemble import reject_metrics_exprs
+
+    cfg = DedupConfig(exclude_tools=("src2",), max_turn_idx=3)
+    turns = derive_transcripts(spark, sf_dir)
+    return turns.agg(*reject_metrics_exprs(cfg))
 
 
 def q_tool_filter(spark, sf_dir):
@@ -375,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_policy": q_keep_policy,
         "duplicate_report": q_duplicate_report,
         "min_size_filter": q_min_size_filter,
+        "ingest_rejects": q_ingest_rejects,
         "tool_filter": q_tool_filter,
         "turn_depth_bounds": q_turn_depth_bounds,
         "delete_rewrite": q_delete_rewrite,
@@ -662,6 +677,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "min_size_filter": _TC
         + "SELECT conv_id, total_chars FROM conversations WHERE total_chars >= 300",
+        "ingest_rejects": _T
+        + """
+        SELECT cast(count(*) AS bigint) AS raw_rows,
+               cast(coalesce(sum(CASE WHEN conv_id IS NULL THEN 1 END), 0)
+                    AS bigint) AS null_conv_id,
+               cast(coalesce(sum(CASE WHEN turn_idx IS NULL THEN 1 END), 0)
+                    AS bigint) AS null_turn_idx,
+               cast(coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0)
+                    AS bigint) AS null_text_repaired,
+               cast(coalesce(sum(CASE WHEN NOT coalesce(
+                        coalesce(tool, '') NOT IN ('src2') AND turn_idx <= 3,
+                        TRUE) THEN 1 END), 0) AS bigint) AS filtered_out
+        FROM transcripts
+        """,
         "tool_filter": _T
         + """
         SELECT conv_id,

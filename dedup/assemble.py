@@ -49,6 +49,22 @@ def turn_filters(cfg: DedupConfig) -> Column | None:
     return out
 
 
+def reject_metrics_exprs(cfg: DedupConfig) -> list[Column]:
+    """The S8 ingest-accounting aggregate expressions — shared between the
+    pipeline's Observation (rides the assemble action) and the standalone
+    driver query (plain one-row agg), so both surfaces run the SAME code."""
+    pred = turn_filters(cfg)
+    return [
+        F.count(F.lit(1)).alias("raw_rows"),
+        F.sum(F.col("conv_id").isNull().cast("long")).alias("null_conv_id"),
+        F.sum(F.col("turn_idx").isNull().cast("long")).alias("null_turn_idx"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_text_repaired"),
+        F.sum((~F.coalesce(pred, F.lit(True))).cast("long")).alias("filtered_out")
+        if pred is not None
+        else F.sum(F.lit(0).cast("long")).alias("filtered_out"),
+    ]
+
+
 def reject_observation(turns: DataFrame, cfg: DedupConfig):
     """S8: error-tolerant ingest WITH accounting. The reference silently
     drops unreadable entries (reference: /root/reference/src/scanner.rs:97,102);
@@ -63,18 +79,8 @@ def reject_observation(turns: DataFrame, cfg: DedupConfig):
     """
     from pyspark.sql import Observation
 
-    pred = turn_filters(cfg)
     obs = Observation("ingest_rejects")
-    turns = turns.observe(
-        obs,
-        F.count(F.lit(1)).alias("raw_rows"),
-        F.sum(F.col("conv_id").isNull().cast("long")).alias("null_conv_id"),
-        F.sum(F.col("turn_idx").isNull().cast("long")).alias("null_turn_idx"),
-        F.sum(F.col("text").isNull().cast("long")).alias("null_text_repaired"),
-        F.sum((~F.coalesce(pred, F.lit(True))).cast("long")).alias("filtered_out")
-        if pred is not None
-        else F.lit(0).cast("long").alias("filtered_out"),
-    )
+    turns = turns.observe(obs, *reject_metrics_exprs(cfg))
     return turns, obs
 
 

@@ -36,6 +36,11 @@ def connected_components(
     spark = edges.sparkSession
     cc_parts = max(2, spark.sparkContext.defaultParallelism // 4)
     # symmetric adjacency: one DataFrame, both directions
+    # every frame this loop pins (localCheckpoint/persist) is unpersisted
+    # before returning, so standalone callers don't leak cached label RDDs
+    # for the rest of the session (the returned frame is its own checkpoint)
+    pinned: list[DataFrame] = []
+
     sym = (
         edges.unionByName(
             edges.select(
@@ -45,6 +50,7 @@ def connected_components(
         .repartition(cc_parts, "conv_b")
         .localCheckpoint()
     )
+    pinned.append(sym)
 
     labels = (
         sym.select(F.col("conv_a").alias("conv_id"))
@@ -53,6 +59,7 @@ def connected_components(
         .repartition(cc_parts, "conv_id")
         .localCheckpoint()
     )
+    pinned.append(labels)
 
     def _hop(lbls):
         nbr_min = (
@@ -82,15 +89,16 @@ def connected_components(
         # lineage (per-round plans grow linearly between cuts, which the
         # analyzer tolerates; unbounded growth it does not).
         stepped = _hop(_hop(labels))
-        cached = None
         if it % 3 == 2:
             stepped = stepped.localCheckpoint()
         else:
-            stepped = cached = stepped.persist()
+            stepped = stepped.persist()
+        pinned.append(stepped)
         changed = stepped.where(F.col("label0") != F.col("label")).count()
         if prev_cached is not None:
             prev_cached.unpersist()
-        prev_cached = cached
+            pinned.remove(prev_cached)
+        prev_cached = stepped if it % 3 != 2 else None
         labels = stepped.select(
             "conv_id", "label", F.col("label").alias("label0")
         )
@@ -101,4 +109,9 @@ def connected_components(
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
-    return labels.select("conv_id", F.col("label").alias("cluster_id"))
+    # cut the result loose from every loop-pinned frame, then free them all:
+    # the caller gets exactly one pinned frame (its own checkpoint) back
+    out = labels.select("conv_id", F.col("label").alias("cluster_id")).localCheckpoint()
+    for df in pinned:
+        df.unpersist()
+    return out

@@ -95,12 +95,11 @@ def exact_clusters(conversations: DataFrame, cfg: DedupConfig | None = None) -> 
         "content_hash",
     )
     blocked = prune_singleton_blocks(skinny)
-    hashed = blocked
     dup_key = F.col("content_hash") if cfg.strict else F.col("prefix_hash")
     # Fast mode still blocks by size first, so two convs only group when
     # (n_turns, total_chars, prefix_hash) all agree — exactly the reference's
     # size-block + prefix-hash containment.
-    keyed = hashed.withColumn(
+    keyed = blocked.withColumn(
         "dup_key", F.concat_ws(":", F.col("block_key").cast("string"), dup_key)
     )
     w = Window.partitionBy("dup_key")

@@ -219,8 +219,13 @@ def ivf_topk(
     index is a shuffle on cell_id, and candidate volume is
     n_probe/n_centroids of brute force.
     """
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    # deterministic codebook = first n_centroids vectors in id order; works
+    # for any orderable id type (a `< n_centroids` filter would silently
+    # yield fewer/zero centroids for string or sparse ids)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         id_col, vec_col, "cent_id", _dot(F.col(vec_col), F.col("cv")).alias("cscore")
