@@ -52,56 +52,94 @@ def bucketed_pairs(
     cap: int,
     materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """ONE-SHUFFLE candidate pairing, shared by the LSH and SimHash tiers.
+    """STATS-FIRST candidate pairing, shared by the LSH and SimHash tiers.
 
-    groupBy(bucket) → sorted member-struct array → pair explosion:
-    - buckets ≤ ``cap`` members emit all pairs — via posexplode + slice, so
-      the explosion is row-per-member (each row carries one array copy,
-      ~bytes-per-member × bucket size), never one s² array;
-    - bigger buckets emit O(s) STAR edges around the sort-min member and a
-      row in the overflow metric — never silently dropped.
+    Pass 1 aggregates only (count, min, max) per bucket — a fully
+    whole-stage-codegen HashAggregate over skinny rows, with map-side
+    partial combine. In a banded corpus the vast majority of buckets are
+    singletons; they die in pass 1 without ever building an array (the
+    previous formulation ran ObjectHashAggregate ``collect_list`` over
+    EVERY banded row, materializing ~25M single-element arrays per 26M rows
+    just to filter them — measured flat 1.14× scaling at 4×-cores from its
+    sort-based fallback spills).
 
-    Replaces the window-count + self-join formulation, whose physical plan
-    computed the banded table THREE times (two join sides + the anchor
-    path), each with its own exchange and sort — measured 3× slower at
-    sf0.1. Memory bound: one bucket's member array per aggregation row;
-    identical-boilerplate buckets are bounded by the template's copy count
-    (a 10⁶-copy template ⇒ ~tens of MB per array — acceptable; the
-    window formulation is the fallback if a corpus ever breaks this).
+    Routing by bucket size s:
+    - s == 2 (the dominant duplicate shape): the pair is (min, max)
+      directly from the stats row — zero arrays, zero extra shuffle;
+    - 2 < s ≤ cap: the banded rows are joined back to just these buckets
+      (AQE broadcasts the bucket list when small) and only THEY reach the
+      sorted-array posexplode pairing — aggregation memory is bounded by
+      ``cap`` members per array, never by the corpus's largest template;
+    - s > cap: O(s) STAR edges (bucket-min anchor ↔ member) emitted from
+      the same join with NO array at all, plus a row in the overflow
+      metric — mega-buckets are never silently dropped and never
+      materialize a multi-GB aggregation row.
+
+    The ``stats`` table (duplicate buckets only — tiny) is ALWAYS
+    checkpointed: three subtrees consume it (s==2 pairs, the s>2 membership
+    join, the overflow metric) and exchange reuse does not span them.
+    ``materialize=True`` additionally checkpoints the banded rows, for
+    callers whose row source is not already materialized — the membership
+    join re-reads them, and without a cut their upstream (a signature UDF,
+    a parquet scan) would run once per consumer.
 
     Returns (pairs(a: struct, b: struct), overflow(bucket_cols, bucket_n)),
     with a < b in member-struct order (first member column ascending).
     """
     m = F.struct(*[F.col(c) for c in member_cols])
-    agg = (
-        rows.groupBy(*bucket_cols)
-        .agg(F.sort_array(F.collect_list(m)).alias("ms"))
-        .withColumn("s", F.size("ms"))
-        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
-    )
+    keyed = rows.select(*bucket_cols, m.alias("m"))
     if materialize:
-        agg = agg.localCheckpoint()
-    small = agg.where(F.col("s") <= cap)
-    big = agg.where(F.col("s") > cap)
-    pairs_small = small.select(
+        keyed = keyed.localCheckpoint()
+    stats = (
+        keyed.groupBy(*bucket_cols)
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.min("m").alias("m0"),
+            F.max("m").alias("m1"),
+        )
+        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
+    ).localCheckpoint()
+    pairs_two = stats.where(F.col("s") == 2).select(
+        F.col("m0").alias("a"), F.col("m1").alias("b")
+    )
+    multi = stats.where(F.col("s") > 2)
+    # membership is needed only for s>2 buckets — re-read the (cheap,
+    # usually checkpointed) banded rows and keep just those buckets
+    joined = keyed.join(
+        multi.select(*bucket_cols, "s", "m0"), list(bucket_cols)
+    )
+    mid = (
+        joined.where(F.col("s") <= cap)
+        .groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .withColumn("s", F.size("ms"))
+    )
+    pairs_mid = mid.select(
         F.posexplode("ms").alias("i", "a"), "ms", "s"
     ).select("a", F.explode(F.expr("slice(ms, i + 2, s)")).alias("b"))
-    pairs_big = big.select(
-        F.col("ms").getItem(0).alias("a"),
-        F.explode(F.expr("slice(ms, 2, s - 1)")).alias("b"),
+    pairs_big = joined.where(
+        (F.col("s") > cap) & (F.col("m") != F.col("m0"))
+    ).select(F.col("m0").alias("a"), F.col("m").alias("b"))
+    overflow = multi.where(F.col("s") > cap).select(
+        *bucket_cols, F.col("s").alias("bucket_n")
     )
-    overflow = big.select(*bucket_cols, F.col("s").alias("bucket_n"))
-    return pairs_small.unionByName(pairs_big), overflow
+    return pairs_two.unionByName(pairs_mid).unionByName(pairs_big), overflow
 
 
 def candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig | None = None, materialize: bool = True
+    signatures: DataFrame,
+    cfg: DedupConfig | None = None,
+    materialize: bool = True,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs (conv_a < conv_b, source='lsh') plus a one-row-per
     overflowed-bucket metrics DataFrame (band_id, band_hash, bucket_n).
 
-    ``materialize`` checkpoints the per-bucket member table so the pair
-    explosion and the overflow metric read one computation of the banding.
+    ``materialize`` checkpoints the per-bucket stats table so the pair
+    routing and the overflow metric read one computation of the banding.
+    ``dedup=False`` skips the per-pair dropDuplicates shuffle — for callers
+    (the pipeline) that immediately groupBy the union of all tiers' pairs
+    anyway; standalone callers keep the default one-row-per-pair contract.
     """
     cfg = cfg or DedupConfig()
     buckets = band_buckets(signatures, cfg)
@@ -112,11 +150,9 @@ def candidate_pairs(
         cfg.band_bucket_cap,
         materialize=materialize,
     )
-    pairs = (
-        raw.select(
-            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
-        )
-        .dropDuplicates(["conv_a", "conv_b"])
-        .withColumn("source", F.lit("lsh"))
+    pairs = raw.select(
+        F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
     )
-    return pairs, overflow
+    if dedup:
+        pairs = pairs.dropDuplicates(["conv_a", "conv_b"])
+    return pairs.withColumn("source", F.lit("lsh")), overflow

@@ -105,8 +105,14 @@ class DedupPipeline:
         The write is the lineage cut AND the resume point; reading back means
         downstream stages consume the exact persisted bytes, so resume is
         byte-identical by construction.
+
+        Recorded seconds are the full SECTION wall — elapsed since the
+        previous stage finished, not just this write — so eager work done
+        while the stage's DataFrame is constructed (tier stats/UDF-table
+        localCheckpoints) is attributed to the stage that triggered it and
+        per-stage walls sum to the run wall.
         """
-        t0 = time.monotonic()
+        t0 = getattr(self, "_section_t0", None) or time.monotonic()
         p = self._path(stage)
         if self._done(stage):
             out = self.spark.read.parquet(p)
@@ -126,6 +132,7 @@ class DedupPipeline:
         return out
 
     def _record(self, stage: str, rows: int, seconds: float, resumed: bool):
+        self._section_t0 = time.monotonic()  # next stage's section starts now
         entry = {
             "stage": stage,
             "rows": rows,
@@ -147,6 +154,7 @@ class DedupPipeline:
 
         cfg = self.cfg
         metrics: dict = {}
+        self._section_t0 = time.monotonic()
         _pre_ids = persistent_rdd_ids(self.spark)
 
         # S8 ingest-reject accounting rides the assemble action via observe()
@@ -167,7 +175,12 @@ class DedupPipeline:
 
         # candidate pairs from every tier, one union
         mat = not self.fused
-        lsh_pairs, lsh_overflow = candidate_pairs(sigs, cfg, materialize=mat)
+        # dedup=False: the strongest-source groupBy below is the single
+        # pair-dedup shuffle for every tier — a per-tier dropDuplicates
+        # would shuffle the same pair set twice
+        lsh_pairs, lsh_overflow = candidate_pairs(
+            sigs, cfg, materialize=mat, dedup=False
+        )
         pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
         if self.enable_simhash:
             from dedup.assemble import turn_filters
@@ -188,14 +201,16 @@ class DedupPipeline:
             # would serialize the signature UDF on a handful of cores —
             # repartition to the cluster's parallelism first.
             par = self.spark.sparkContext.defaultParallelism
-            # materialize the per-turn simhash table: the chunk self-join
-            # reads it from BOTH sides, and without a checkpoint the UDF
-            # would be recomputed once per side per downstream action
-            sh = with_turn_simhash(turns_f.repartition(par), cfg).select(
-                "conv_id", "turn_idx", "simhash"
+            # ALWAYS materialize the per-turn simhash table (fused or not):
+            # the stats-first pair kernel reads the banded rows from two
+            # subtrees (the stats agg + the s>2 membership join), and
+            # without a checkpoint the simhash UDF — the most expensive
+            # kernel in the stage — would run once per subtree
+            sh = (
+                with_turn_simhash(turns_f.repartition(par), cfg)
+                .select("conv_id", "turn_idx", "simhash")
+                .localCheckpoint()
             )
-            if mat:
-                sh = sh.localCheckpoint()
             sh_pairs, sh_overflow = simhash_conv_pairs(
                 sh, cfg, materialize=mat, return_overflow=True
             )

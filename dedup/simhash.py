@@ -225,7 +225,7 @@ tsim AS (
 
 
 def simhash_turn_pairs(
-    turns_sh: DataFrame, cfg: DedupConfig | None = None
+    turns_sh: DataFrame, cfg: DedupConfig | None = None, dedup: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(conv_id, turn_idx, simhash) → turn-level near-exact pairs.
 
@@ -282,8 +282,12 @@ def simhash_turn_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
-        .dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
     )
+    if dedup:
+        # a turn pair can match in up to 4 chunks; standalone callers get
+        # one row per pair. simhash_conv_pairs skips this shuffle — its
+        # countDistinct aggregation is duplicate-immune.
+        pairs = pairs.dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
     return pairs, overflow
 
 
@@ -309,7 +313,7 @@ def simhash_conv_pairs(
     exchange reuse still computes the chunk self-join once per action.
     """
     cfg = cfg or DedupConfig()
-    tp, overflow = simhash_turn_pairs(turns_sh, cfg)
+    tp, overflow = simhash_turn_pairs(turns_sh, cfg, dedup=False)
     if materialize:
         tp = tp.localCheckpoint()
     n_turns = turns_sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))

@@ -109,3 +109,34 @@ def test_band_bucket_cap_star_fallback(spark):
     # connectivity preserved: CC still yields one cluster
     labels = connected_components(pairs.select("conv_a", "conv_b")).collect()
     assert {r.cluster_id for r in labels} == {"m000"}
+
+
+def test_bucketed_pairs_array_agg_is_cap_bounded(spark):
+    """The mega-bucket memory bound must be visible in the PLAN, not just
+    asserted: the only aggregate that materializes a member ARRAY
+    (collect_list) must sit above the s <= cap filter, so no bucket larger
+    than the cap ever reaches an array-building aggregation row. Over-cap
+    buckets flow through the join-based star-edge path (no arrays)."""
+    import re
+
+    from dedup.lsh import bucketed_pairs
+
+    rows = spark.createDataFrame(
+        [(1, f"m{i}") for i in range(20)] + [(2, "x"), (2, "y"), (2, "z")],
+        "bucket int, member string",
+    )
+    pairs, _ = bucketed_pairs(rows, ["bucket"], ["member"], cap=5, materialize=False)
+    plan = pairs._jdf.queryExecution().optimizedPlan().treeString()
+    lines = plan.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "collect_list" in l]
+    assert agg_idx, plan  # the small-bucket path still builds arrays
+    for i in agg_idx:
+        indent = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        subtree = []
+        for l in lines[i + 1 :]:
+            if (len(l) - len(l.lstrip(" :+-"))) <= indent:
+                break
+            subtree.append(l)
+        assert any(
+            re.search(r"<= 5\)?", l) for l in subtree
+        ), "collect_list aggregate not gated by the cap filter:\n" + plan
