@@ -84,6 +84,20 @@ class DedupConfig:
     simhash_bits: int = 64
     #: max Hamming distance for a SimHash near-exact match.
     simhash_hamming: int = 3
+    #: pigeonhole blocks for Hamming banding (Manku/Das/Sarma-style): the 64
+    #: bits split into this many blocks; a pair within simhash_hamming
+    #: differs in ≤ hamming blocks, so it matches exactly on at least
+    #: (blocks - hamming) of them → band key = every (blocks-hamming)-subset
+    #: of blocks. blocks=4/hamming=3 gives 4 tables of 16-bit keys — only
+    #: 65k buckets, so bucket size (and candidate pairs) grows QUADRATICALLY
+    #: with corpus size. The default 6 gives C(6,3)=20 tables of ~32-bit
+    #: keys: 5× the banded rows, ~65000× fewer collision-driven candidate
+    #: pairs. The FINAL pair set is identical either way (exact Hamming
+    #: filter decides); only candidate volume changes. None ⇒ adapt to the
+    #: measured distinct-fingerprint count (simhash.pick_simhash_blocks):
+    #: ~1.4M distinct → 5 blocks / 10 tables / ~25-bit keys; ~10⁹ distinct
+    #: → 7 blocks / 35 tables / ~36-bit keys.
+    simhash_blocks: int | None = None
 
     # ---- suffix / shared-span tier ---------------------------------------
     #: minimum shared-substring length (chars) the span stage reports.

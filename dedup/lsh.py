@@ -99,6 +99,20 @@ def bucketed_pairs(
         )
         .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
     ).localCheckpoint()
+    return route_bucket_pairs(keyed, stats, bucket_cols, cap)
+
+
+def route_bucket_pairs(
+    keyed: DataFrame, stats: DataFrame, bucket_cols: list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Size-routed pair emission from precomputed bucket stats (see
+    ``bucketed_pairs``, which builds the stats; callers that already have a
+    per-bucket (s, m0, m1) aggregation — e.g. the SimHash exact-fingerprint
+    path, which reuses ONE groupBy for both its distinct-fingerprint list
+    and its duplicate groups — call this directly and skip the extra
+    shuffle). ``keyed`` = (bucket_cols..., m: struct); ``stats`` =
+    (bucket_cols..., s, m0, m1) with s > 1, and should be materialized (its
+    three consumers get no exchange reuse)."""
     pairs_two = stats.where(F.col("s") == 2).select(
         F.col("m0").alias("a"), F.col("m1").alias("b")
     )

@@ -12,9 +12,12 @@ Dataflow (everything but the signature UDF is JVM-side):
    whitespace/punct variants hash IDENTICALLY;
 2. 64-bit SimHash per turn in one Arrow-batched pandas UDF (numpy bit-count
    over shingle hashes);
-3. split each simhash into 4 × 16-bit chunks; by pigeonhole, two hashes
-   within Hamming distance 3 share at least one exact chunk → self-join on
-   (chunk_id, chunk_value) finds all such pairs without O(n²) compare;
+3. pigeonhole banding (Manku-style): the 64 bits split into
+   ``simhash_blocks`` blocks; Hamming ≤ k ⇒ at least (blocks-k) blocks
+   match exactly, so every (blocks-k)-subset of blocks becomes a band key
+   and bucket-grouping on (chunk_id, chunk_val) finds all such pairs
+   without O(n²) compare — key width sets collision volume (see
+   DedupConfig.simhash_blocks);
 4. verify Hamming ≤ ``simhash_hamming`` via xor + bit_count (codegen'd);
 5. lift turn pairs to conversation pairs: conversations where matched turns
    cover ≥ ``min_shared_turn_frac`` of BOTH sides' turns AND at least
@@ -224,70 +227,173 @@ tsim AS (
 """
 
 
+def pick_simhash_blocks(
+    n_distinct: int, bits: int = 64, hamming: int = 3, max_blocks: int = 10
+) -> int:
+    """Smallest block count whose band-key width keeps expected RANDOM
+    collision pairs per fingerprint ≤ ~1 at this corpus size.
+
+    With b blocks and Hamming budget k, keys are (b-k)-block subsets —
+    width ≈ (b-k)·(bits/b), tables = C(b, b-k). Narrow keys (b=4 → 16 bits)
+    make bucket sizes grow LINEARLY with corpus size → O(n²/2^w) candidate
+    pairs; wide keys multiply tables combinatorially. The collision load is
+    n·tables/2^w; pick the smallest b that bounds it.
+    """
+    from math import comb
+
+    for b in range(hamming + 1, max_blocks + 1):
+        w = (b - hamming) * (bits // b)
+        tables = comb(b, b - hamming)
+        if n_distinct * tables <= (1 << w):
+            return b
+    return max_blocks
+
+
+def _band_structs(cfg: DedupConfig, nb: int, col: str = "simhash") -> list:
+    """JVM band-key exprs: one struct (chunk_id, chunk_val) per
+    (nb - hamming)-subset of the fingerprint's nb bit blocks, the subset's
+    block values packed into one long (shift/mask only, no Python)."""
+    from itertools import combinations
+
+    bits, k = cfg.simhash_bits, cfg.simhash_hamming
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+    blk = [
+        F.shiftrightunsigned(F.col(col), offs[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+        for i in range(nb)
+    ]
+    wmax = max(widths)
+    structs = []
+    for ci, combo in enumerate(combinations(range(nb), max(1, nb - k))):
+        key = blk[combo[0]]
+        for pos, bi in enumerate(combo[1:], start=1):
+            key = key + F.shiftleft(blk[bi], pos * wmax)
+        structs.append(F.struct(F.lit(ci).alias("chunk_id"), key.alias("chunk_val")))
+    return structs
+
+
 def simhash_turn_pairs(
     turns_sh: DataFrame, cfg: DedupConfig | None = None, dedup: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(conv_id, turn_idx, simhash) → turn-level near-exact pairs.
 
     Returns (pairs, overflow): pairs = (conv_a, turn_a, conv_b, turn_b,
-    hamming); overflow = one row per hot (chunk_id, chunk_val) bucket with
-    its size. Chunk join blocks the O(n²) compare; empty-text turns are
-    excluded upstream (simhash 0 would mega-bucket, the same skew concern
-    as LSH mega-bands).
+    hamming), one row per undirected pair by construction; overflow = one
+    row per capped bucket (path, bucket_n). Empty-text turns are excluded
+    upstream (simhash 0 would mega-bucket, the same skew concern as LSH
+    mega-bands).
 
-    Hot-chunk buckets (boilerplate turns: thousands of members sharing one
-    16-bit chunk) are demoted to STAR edges around the bucket-min member —
-    the same treatment as LSH mega-bands (lsh.py), O(n) edges instead of
-    O(n²) — and counted into the overflow metric, never silently dropped.
-    Star edges still pass the exact Hamming check, so a member whose
-    distance to the anchor exceeds the cap contributes no edge; connectivity
-    for those flows through the other three chunk tables.
+    Three-way decomposition — each sub-path's volume scales with the right
+    quantity, not with raw turn count squared:
+
+    1. EXACT fingerprint groups (hamming 0): bucket = the full 64-bit
+       simhash, one banded row per turn. Identical/boilerplate turns — the
+       heavy multiplicity in any real corpus — are fully absorbed here by
+       the stats-first kernel (s==2 direct, cap→star for mega-groups) and
+       NEVER enter the Hamming banding.
+    2. NEAR fingerprint pairs (1..k): pigeonhole banding (Manku-style, see
+       DedupConfig.simhash_blocks) over the DISTINCT fingerprints only —
+       members are bare longs (codegen min/max, no struct aggregation),
+       tables × distinct rows, never tables × turns. Block count adapts to
+       the measured distinct count so random-collision pairs stay ~O(n).
+    3. EXPANSION of near fingerprint pairs back to turn pairs through the
+       same capped kernel (bucket = the fp pair): boilerplate×boilerplate
+       expansions demote to star edges + overflow instead of an m×n blowup.
+
+    Star edges still face the exact cross-conv/hamming filters; a capped
+    member's pairs beyond its anchor flow through connected components.
     """
-    from dedup.lsh import bucketed_pairs
+    from dedup.lsh import bucketed_pairs, route_bucket_pairs
 
     cfg = cfg or DedupConfig()
+    k = cfg.simhash_hamming
     t = turns_sh.select("conv_id", "turn_idx", "simhash")
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("chunk_id"),
-                    F.shiftright(F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                )
-                for i in range(4)
-            ]
+
+    def _turn_pairs(raw, hamming_col):
+        return (
+            raw.where(F.col("a.conv_id") != F.col("b.conv_id"))  # cross-conv
+            .select(
+                F.col("a.conv_id").alias("conv_a"),
+                F.col("a.turn_idx").alias("turn_a"),
+                F.col("b.conv_id").alias("conv_b"),
+                F.col("b.turn_idx").alias("turn_b"),
+                hamming_col.alias("hamming"),
+            )
         )
+
+    # ONE groupBy(simhash) feeds both path 1 (duplicate fingerprint groups)
+    # and path 2 (the distinct-fingerprint list + its count): fp_stats has
+    # exactly one row per distinct fingerprint
+    m0 = F.struct("conv_id", "turn_idx")
+    fp_stats = (
+        t.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.min(m0).alias("m0"),
+            F.max(m0).alias("m1"),
+        )
+        .localCheckpoint()
     )
-    banded = t.select("conv_id", "turn_idx", "simhash", chunks.alias("c")).select(
-        "conv_id", "turn_idx", "simhash", "c.chunk_id", "c.chunk_val"
-    )
-    raw, overflow = bucketed_pairs(
-        banded,
-        ["chunk_id", "chunk_val"],
-        ["conv_id", "turn_idx", "simhash"],
+
+    # (1) exact fingerprint groups — no banding, one row per turn
+    raw0, ov0 = route_bucket_pairs(
+        t.select("simhash", m0.alias("m")),
+        fp_stats.where(F.col("s") > 1),
+        ["simhash"],
         cfg.band_bucket_cap,
-        materialize=False,  # caller materializes the turn-pair table instead
     )
-    pairs = (
-        raw.where(F.col("a.conv_id") != F.col("b.conv_id"))  # cross-conv only
-        .select(
-            F.col("a.conv_id").alias("conv_a"),
-            F.col("a.turn_idx").alias("turn_a"),
-            F.col("b.conv_id").alias("conv_b"),
-            F.col("b.turn_idx").alias("turn_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+    pairs0 = _turn_pairs(raw0, F.lit(0).cast("int"))
+
+    # (2) near pairs over DISTINCT fingerprints
+    fps = fp_stats.select("simhash")
+    nb = cfg.simhash_blocks
+    if nb is None:
+        n_fp = fp_stats.count()  # count of the checkpointed stats — free-ish
+        nb = pick_simhash_blocks(max(n_fp, 1), cfg.simhash_bits, k)
+    banded = fps.select(
+        "simhash", F.explode(F.array(*_band_structs(cfg, nb))).alias("c")
+    ).select("simhash", "c.chunk_id", "c.chunk_val")
+    rawf, ovf = bucketed_pairs(
+        banded, ["chunk_id", "chunk_val"], ["simhash"], cfg.band_bucket_cap,
+        materialize=False,
+    )
+    fp_pairs = (
+        rawf.select(F.col("a.simhash").alias("fa"), F.col("b.simhash").alias("fb"))
+        .withColumn(
+            "fham", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
         )
-        .where(F.col("hamming") <= F.lit(cfg.simhash_hamming))
+        .where(F.col("fham").between(1, k))
+        .dropDuplicates(["fa", "fb"])  # small: true near-dup fp pairs only
     )
-    if dedup:
-        # a turn pair can match in up to 4 chunks; standalone callers get
-        # one row per pair. simhash_conv_pairs skips this shuffle — its
-        # countDistinct aggregation is duplicate-immune.
-        pairs = pairs.dropDuplicates(["conv_a", "turn_a", "conv_b", "turn_b"])
+
+    # (3) expand fp pairs to turn pairs through the capped kernel: bucket =
+    # the fp pair, members = the turns carrying either fingerprint
+    sides = fp_pairs.select(
+        F.col("fa").alias("simhash"), "fa", "fb", "fham"
+    ).unionByName(fp_pairs.select(F.col("fb").alias("simhash"), "fa", "fb", "fham"))
+    exp_rows = t.join(sides, "simhash")  # sides is small → AQE broadcast
+    raw1, ov1 = bucketed_pairs(
+        exp_rows, ["fa", "fb", "fham"], ["conv_id", "turn_idx", "simhash"],
+        cfg.band_bucket_cap, materialize=False,
+    )
+    pairs1 = _turn_pairs(
+        # same-fp pairs inside an expansion bucket are path-1 territory
+        raw1.where(F.col("a.simhash") != F.col("b.simhash")),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int"),
+    )
+
+    pairs = pairs0.unionByName(pairs1)
+    # one row per pair by construction: path 1 buckets are disjoint groups,
+    # path 3 buckets are distinct fp pairs and fp_pairs is deduped — the
+    # ``dedup`` flag is kept for API stability but costs nothing now
+    del dedup
+    overflow = (
+        ov0.select(F.lit("exact_fp").alias("path"), "bucket_n")
+        .unionByName(ovf.select(F.lit("fp_band").alias("path"), "bucket_n"))
+        .unionByName(ov1.select(F.lit("expand").alias("path"), "bucket_n"))
+    )
     return pairs, overflow
 
 
