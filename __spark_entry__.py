@@ -345,16 +345,21 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN top-10: deterministic coarse codebook (first 16
-    vectors), argmax-dot cell assignment, 4-cell probe, exact cosine
-    rescore — assign/probe/rescore structure of a real IVF index, fully
-    mirrored by the DuckDB oracle."""
-    from dedup.similarity import ivf_topk
+    """IVF ANN top-10 with a seeded-k-means codebook: Lloyd's refinement
+    (2 fixed iterations, deterministic init from the first 512 id-ordered
+    vectors — dedup.similarity.kmeans_codebook_parquet) computed driver-side
+    in numpy, then argmax-dot cell assignment, 4-cell probe, exact cosine
+    rescore. Both this query and the DuckDB oracle consume the SAME literal
+    centroids, so there is no cross-engine FP-aggregation divergence."""
+    from dedup.similarity import ivf_topk, kmeans_codebook_parquet
 
+    cents = kmeans_codebook_parquet(
+        f"{sf_dir}/embeddings.parquet", n_centroids=16, iters=2, sample_n=512
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return ivf_topk(emb, k=10, n_centroids=16, n_probe=4).select(
+    return ivf_topk(emb, k=10, n_centroids=16, n_probe=4, centroids=cents).select(
         "query_id", "neighbor_id", F.round("sim", 6).alias("sim"), "rank"
     )
 
@@ -419,7 +424,13 @@ _NORM_SQL = r"regexp_replace(lower(doc), '[\s\x1c-\x1f]+', ' ', 'g')"
 
 def _neardup_minhash_oracle() -> str:
     """True char-9-gram Jaccard over all conversation pairs ≥ 0.7 — what the
-    Spark side's LSH + exact-verify computes (see q_neardup_docs_minhash)."""
+    Spark side's LSH + exact-verify computes (see q_neardup_docs_minhash).
+
+    ASCII-corpus constraint: this SQL windows over CHARACTERS while the
+    Spark side shingles UTF-8 BYTES (dedup.minhash.shingle_hashes); they
+    agree exactly because the driver documents fixture is ASCII (verified —
+    derive_transcripts output is [ -~]*). A non-ASCII fixture would need
+    the oracle to window octets (substr over encode(nd)) instead."""
     return _TC + f""",
 nrm AS (SELECT conv_id, {_NORM_SQL} AS nd FROM conversations),
 sh AS (
@@ -439,9 +450,23 @@ WHERE i / (ca.n + cb.n - i) >= 0.7
 
 
 def _span_pairs_oracle() -> str:
-    """LCS(a, b) ≥ 150 ⟺ the normalized docs share a 150-char gram."""
+    """LCS(a, b) ≥ 150 ⟺ the normalized docs share a 150-char gram.
+
+    Scope constraints mirrored from the Spark side (same ASCII byte=char
+    note as _neardup_minhash_oracle):
+    - span_doc_cap: doc_anchors truncates each normalized doc to 1M chars
+      (cfg.span_doc_cap); the substr(nd, 1, 1000000) below mirrors it so a
+      shared span past the cap diverges in NEITHER engine. Driver docs are
+      ~kB-sized, so the cap is never hit at oracle scale — the clause
+      exists so the equality is by construction, not by fixture luck.
+    - sampled-anchor recall: the Spark side requires ≥2 sampled anchors
+      (hash % span_anchor_mod == 0) inside the shared span. At
+      min_span_len=150 and mod=16 (the q_span_pairs config) a 150-char
+      span contains ≥ ~9 expected anchors, so recall of true spans is
+      effectively 1 at this fixture scale; the pytest suite covers the
+      anchor-sampling recall bound directly."""
     return _TC + f""",
-nrm AS (SELECT conv_id, {_NORM_SQL} AS nd FROM conversations),
+nrm AS (SELECT conv_id, substr({_NORM_SQL}, 1, 1000000) AS nd FROM conversations),
 g AS (
     SELECT DISTINCT conv_id, substr(nd, i, 150) AS g
     FROM nrm, unnest(generate_series(1, length(nd) - 149)) AS t(i)
@@ -535,10 +560,27 @@ WHERE round(list_cosine_similarity(a.v, e.v), 6) >= 0.45
 
 
 def _ann_ivf_topk_oracle(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Mirror of q_ann_ivf_topk: the k-means codebook is computed ONCE by
+    the same numpy routine the Spark query uses (identical id-ordered
+    sample of the sf0.01 embeddings the driver registers) and planted here
+    as a literal VALUES table — float repr round-trips to the exact double,
+    so both engines score against bit-identical centroids."""
+    import os as _os
+
+    from dedup.similarity import kmeans_codebook_parquet
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = kmeans_codebook_parquet(
+        f"{sf_dir}/embeddings.parquet", n_centroids=n_centroids, iters=2, sample_n=512
+    )
+    values = ",\n           ".join(
+        f"({i}, [{', '.join(repr(v) for v in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
     return f"""
 WITH emb AS (SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings),
 cents AS (
-    SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < {n_centroids}
+    SELECT * FROM (VALUES {values}) AS t(cent_id, cv)
 ),
 ranked AS (
     SELECT e.vec_id, e.v, c.cent_id,

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via mapInPandas in Arrow batches.
 
-The decode step is STUBBED — the real image/audio libraries are not in this
-container — behind ``decode_media``: with ``fake=True`` (default) it derives
-deterministic pseudo-features from the bytes (so the Spark-side plumbing —
-schema, partitioning, UDF signature, batch shape — is real and tested);
-with ``fake=False`` it raises NotImplementedError where a PIL/ffmpeg call
-would go.
+Decode is REAL for PNG images and PCM WAV audio (dedup.mediacodec — pure
+zlib/struct/numpy, no PIL/ffmpeg needed), including a numpy
+nearest-neighbor ``resize_media``. ``fake=True`` (default for opaque test
+payloads) derives deterministic pseudo-features from the raw bytes instead.
+Codec-bound formats (mp4 video frames) remain explicit stubs: with
+``fake=False`` video rows fall back to the byte-level feature, documented
+below, and ``frame_sample_stub`` raises where ffmpeg would go.
 """
 
 from __future__ import annotations
@@ -43,22 +44,40 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (seeded bytes). Planted exact dups:
+    """Deterministic media table with REAL encodings: seeded 64×48 grayscale
+    PNGs, seeded 16-bit PCM WAVs, opaque seeded bytes for video (no
+    container codec available — see module docstring). Planted exact dups:
     every 8th row (i % 8 == 0, i > 0) carries the payload of row i-1 — the
     predecessor is never itself remapped (i-1 % 8 == 7), so each pair
     (i-1, i) is a real duplicate pair and nothing else collides."""
+    from dedup.mediacodec import png_encode, wav_encode
+
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
+        # the duplicate must copy its source's KIND too, or the payload
+        # would be re-encoded differently; i-1's kind is ["video","image",
+        # "audio"][i%3] when i%8==0 — recompute from src
         src = i - 1 if (i % 8 == 0 and i > 0) else i
-        payload = np.random.default_rng(seed + src).integers(
-            0, 256, size=256 + (src % 5) * 64, dtype=np.uint8
-        )
+        kind = ["image", "audio", "video"][src % 3]
+        rng = np.random.default_rng(seed + src)
+        if kind == "image":
+            img = rng.integers(0, 256, size=(48, 64), dtype=np.uint8)
+            payload = png_encode(img)
+        elif kind == "audio":
+            pcm = rng.integers(-(2**15), 2**15, size=800 + (src % 5) * 160).astype(
+                np.int16
+            )
+            payload = wav_encode(pcm, rate=8000)
+        else:
+            payload = bytes(
+                rng.integers(0, 256, size=256 + (src % 5) * 64, dtype=np.uint8).tobytes()
+            )
         rows.append(
             (
                 i,
                 kind,
-                bytes(payload.tobytes()),
+                payload,
                 64 if kind == "image" else None,
                 48 if kind == "image" else None,
                 1000 * (src % 7 + 1) if kind != "image" else None,
@@ -72,22 +91,45 @@ def decode_media(media: DataFrame, dim: int = 16, fake: bool = True) -> DataFram
     """media → per-item features via mapInPandas (Arrow batch iterator).
 
     fake=True: deterministic pseudo-embedding = normalized byte histogram
-    projected to ``dim`` buckets + md5 content hash. fake=False: the real
-    decoder slot (PIL / torchaudio / ffmpeg) — NotImplementedError here.
+    projected to ``dim`` buckets + md5 content hash (for opaque payloads).
+    fake=False: REAL decode — PNG → pixel-intensity histogram, WAV →
+    sample-amplitude histogram (dedup.mediacodec, pure Python/numpy); video
+    has no codec in this container and falls back to the byte histogram
+    (documented fallback, not a silent one: its ``kind`` stays 'video').
+    Content hash is over the RAW bytes in both modes, so exact-dup
+    detection is decode-independent.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from dedup.mediacodec import png_decode, wav_decode
+
+        def byte_feature(raw: bytes) -> np.ndarray:
+            b = np.frombuffer(raw, dtype=np.uint8)
+            return np.bincount(b % dim, minlength=dim).astype(np.float32)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this container"
-                )
             feats, hashes, sizes = [], [], []
-            for raw in pdf["data"]:
-                b = np.frombuffer(raw, dtype=np.uint8)
-                hist = np.bincount(b % dim, minlength=dim).astype(np.float32)
+            for raw, kind in zip(pdf["data"], pdf["kind"]):
+                raw = bytes(raw)
+                if fake or kind == "video":
+                    hist = byte_feature(raw)
+                elif kind == "image":
+                    px = png_decode(raw).ravel()
+                    hist = np.bincount(
+                        px // max(256 // dim, 1), minlength=dim
+                    )[:dim].astype(np.float32)
+                elif kind == "audio":
+                    samples, _rate = wav_decode(raw)
+                    # amplitude histogram over dim buckets of |sample|
+                    mag = np.abs(samples.astype(np.int32))
+                    hist = np.bincount(
+                        np.minimum(mag // max(2**15 // dim, 1), dim - 1),
+                        minlength=dim,
+                    ).astype(np.float32)
+                else:
+                    hist = byte_feature(raw)
                 norm = float(np.linalg.norm(hist)) or 1.0
                 feats.append(hist / norm)
                 hashes.append(hashlib.md5(raw).hexdigest())
@@ -119,10 +161,34 @@ def media_exact_dups(features: DataFrame) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize slot: real implementation would decode+resample in the
-    same mapInPandas shape as decode_media. Kept as an explicit stub."""
-    raise NotImplementedError("resize requires an image library — not in this container")
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → nearest-neighbor resample → re-encode for image rows, in
+    the same mapInPandas shape as decode_media; non-image rows pass through
+    untouched. Pure numpy index math (dedup.mediacodec.resize_nearest) —
+    deterministic, no image library."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dedup.mediacodec import png_decode, png_encode, resize_nearest
+
+        for pdf in batches:
+            data, ws, hs = [], [], []
+            for raw, kind in zip(pdf["data"], pdf["kind"]):
+                if kind == "image":
+                    img = resize_nearest(png_decode(bytes(raw)), width, height)
+                    data.append(png_encode(img))
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    data.append(bytes(raw))
+                    ws.append(None)
+                    hs.append(None)
+            out = pdf.copy()
+            out["data"] = data
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(resize_batches, schema=media.schema)
 
 
 def frame_sample_stub(media: DataFrame, every_ms: int) -> DataFrame:

@@ -198,6 +198,44 @@ def lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def kmeans_refine(X: np.ndarray, n_centroids: int, iters: int = 2) -> np.ndarray:
+    """Deterministic Lloyd's refinement: init = first ``n_centroids`` rows,
+    dot-product assignment (argmax, ties → lowest centroid index), cell
+    mean update; empty cells keep their previous centroid. Fixed iteration
+    count, no randomness — same input ⇒ bit-identical codebook."""
+    C = X[:n_centroids].astype(np.float64).copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def kmeans_codebook_parquet(
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_n: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Seeded IVF codebook from a bounded, id-ordered parquet sample,
+    computed driver-side in numpy. Training an IVF codebook on a sample is
+    the standard practice at corpus scale (the full assign/probe/rescore
+    still runs distributed); doing the tiny Lloyd's loop in ONE process is
+    what lets the Spark query and the DuckDB oracle consume IDENTICAL
+    centroid literals — no cross-engine floating-point aggregation-order
+    divergence. Returns plain Python float lists (exact doubles)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[id_col, vec_col])
+    pdf = tbl.to_pandas().sort_values(id_col).head(sample_n)
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return [[float(v) for v in row] for row in kmeans_refine(X, n_centroids, iters)]
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
@@ -205,6 +243,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flavored approximate top-k: coarse-quantize every vector to its
     best centroid (argmax dot product), probe each query against the
@@ -219,14 +258,23 @@ def ivf_topk(
     index is a shuffle on cell_id, and candidate volume is
     n_probe/n_centroids of brute force.
     """
-    # deterministic codebook = first n_centroids vectors in id order; works
-    # for any orderable id type (a `< n_centroids` filter would silently
-    # yield fewer/zero centroids for string or sparse ids)
-    cents = (
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
-    )
+    # codebook: explicit literal centroids (kmeans_refine /
+    # kmeans_codebook_parquet — the production path, and what the DuckDB
+    # oracle mirrors as a VALUES table), else the first n_centroids vectors
+    # in id order (structural fallback; works for any orderable id type —
+    # a `< n_centroids` filter would silently yield fewer/zero centroids
+    # for string or sparse ids)
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [(i, list(c)) for i, c in enumerate(centroids)],
+            f"cent_id int, cv array<double>",
+        )
+    else:
+        cents = (
+            emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv"))
+        )
     scored = emb.crossJoin(F.broadcast(cents)).select(
         id_col, vec_col, "cent_id", _dot(F.col(vec_col), F.col("cv")).alias("cscore")
     )

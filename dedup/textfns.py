@@ -176,3 +176,68 @@ def winnow_fingerprints(
         )
         .dropDuplicates([id_col, "pos"])
     )
+
+
+def winnow_fingerprints_np(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Production twin of ``winnow_fingerprints``: same winnowing semantics
+    (per-window minimum over k-gram hashes, leftmost tie-break, positional
+    coverage ⇒ any shared substring of length ≥ k + w - 1 shares a
+    fingerprint) computed in ONE Arrow-batched pandas pass with the seeded
+    rolling-hash kernel — no per-character explode, no per-doc window sort.
+
+    The JVM/md5 variant shuffles ~one row per document CHARACTER through a
+    window sort (fine at oracle scale, ruinous at 100 TB); this path is
+    O(doc bytes) of numpy per partition with zero shuffle. Hash values
+    differ from the md5 variant (positions selected differ too), so the
+    JVM twin remains the DuckDB-mirrorable oracle while this is the one a
+    corpus-scale job should call.
+
+    Returns (id_col, pos, fp_hash:long), distinct per (id, pos).
+    """
+    from dedup.minhash import batch_window_hashes, py_normalize
+
+    id_field = docs.schema[id_col]
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("fp_hash", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col]
+            texts = [py_normalize(t or "") for t in pdf[text_col]]
+            H, starts, counts = batch_window_hashes(texts, k)
+            out_id, out_pos, out_h = [], [], []
+            for i in range(len(ids)):
+                h = H[starts[i] : starts[i] + counts[i]]
+                n = h.size
+                if n == 0:
+                    continue
+                if n > w:
+                    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+                    idx = np.arange(n - w + 1) + np.argmin(wins, axis=1)
+                else:
+                    idx = np.array([int(np.argmin(h))])
+                # clipped tail windows (the JVM twin's ROWS BETWEEN CURRENT
+                # AND w-1 FOLLOWING shrinks at the end): suffix leftmost
+                # minima of the last w-1 positions — at most w-1 tiny argmins
+                tail = [
+                    i + int(np.argmin(h[i:]))
+                    for i in range(max(n - w + 1, 1), n)
+                ]
+                sel = np.unique(np.concatenate([idx, np.array(tail, dtype=np.int64)])) if tail else np.unique(idx)
+                out_id.extend([ids.iloc[i]] * sel.size)
+                out_pos.extend((sel + 1).tolist())  # 1-based like the twin
+                out_h.extend(h[sel].astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: out_id, "pos": out_pos, "fp_hash": out_h})
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
