@@ -230,23 +230,33 @@ tsim AS (
 def pick_simhash_blocks(
     n_distinct: int, bits: int = 64, hamming: int = 3, max_blocks: int = 10
 ) -> int:
-    """Smallest block count whose band-key width keeps expected RANDOM
-    collision pairs per fingerprint ≤ ~1 at this corpus size.
+    """Block count minimizing the MEASURED cost model of the banding kernel
+    at this corpus size.
 
     With b blocks and Hamming budget k, keys are (b-k)-block subsets —
-    width ≈ (b-k)·(bits/b), tables = C(b, b-k). Narrow keys (b=4 → 16 bits)
-    make bucket sizes grow LINEARLY with corpus size → O(n²/2^w) candidate
-    pairs; wide keys multiply tables combinatorially. The collision load is
-    n·tables/2^w; pick the smallest b that bounds it.
+    width w ≈ (b-k)·(bits/b), tables T = C(b, b-k). Two costs trade off:
+    - banding SHUFFLE: n·T rows through the stats aggregation;
+    - collision STREAM: ~n/2^w random same-key partners per banded row,
+      emitted map-side through a codegen Hamming filter (never shuffled —
+      survivors are the only rows that move).
+    Measured on this pipeline (6.4M turns, local[16]): streaming a
+    candidate row costs ~1/300 of shuffling a banded row — b=4 (0.9B
+    streamed candidates) beat b=5 (55M shuffled band rows) 59 s vs 130 s at
+    5.5M fingerprints. So relative cost(b) = T · (1 + (n/2^w)/300); the
+    argmin moves 4 → 5 → 6 → 7 as n grows ~10⁷ → 10⁹ → 10¹¹. The FINAL
+    pair set is identical for every b (the exact Hamming filter decides).
     """
     from math import comb
 
+    STREAM_VS_SHUFFLE = 300.0
+    best_b, best_cost = None, None
     for b in range(hamming + 1, max_blocks + 1):
         w = (b - hamming) * (bits // b)
         tables = comb(b, b - hamming)
-        if n_distinct * tables <= (1 << w):
-            return b
-    return max_blocks
+        cost = tables * (1.0 + (n_distinct / float(1 << w)) / STREAM_VS_SHUFFLE)
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
 
 
 def _band_structs(cfg: DedupConfig, nb: int, col: str = "simhash") -> list:
