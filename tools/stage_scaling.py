@@ -117,8 +117,15 @@ def main() -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("PHASES ")][-1]
         return json.loads(line[len("PHASES "):])
 
-    w_hi, w_lo = child(hi), child(lo)
-    print(f"\n{'phase':<16}{f'local[{lo}]':>12}{f'local[{hi}]':>12}{'ratio':>8}")
+    from tools.scaling_bench import spin_calibration
+
+    # same-moment cpu ceiling context for each child (host drifts >2×)
+    ceil_pre = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
+    w_hi = child(hi)
+    w_lo = child(lo)
+    ceil_post = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
+    print(f"\ncpu ceiling pre={ceil_pre:.2f} post={ceil_post:.2f}")
+    print(f"{'phase':<16}{f'local[{lo}]':>12}{f'local[{hi}]':>12}{'ratio':>8}")
     for ph in PHASES:
         r = w_lo[ph] / w_hi[ph] if w_hi[ph] else float("nan")
         print(f"{ph:<16}{w_lo[ph]:>12.2f}{w_hi[ph]:>12.2f}{r:>8.2f}")
