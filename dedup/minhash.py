@@ -271,7 +271,7 @@ def make_minhash_udf(cfg: DedupConfig):
 
 
 def with_minhash(
-    conversations: DataFrame, cfg: DedupConfig | None = None, repartition: bool = True
+    conversations: DataFrame, cfg: DedupConfig | None = None, repartition: bool | str = True
 ) -> DataFrame:
     """Attach a ``minhash: array<int>`` column computed from the normalized doc.
 
@@ -279,10 +279,17 @@ def with_minhash(
     first: signature cost scales with ROWS, while upstream AQE coalesces
     shuffle output by BYTES — without this, a text corpus that fits in a
     couple of 64 MB partitions runs the UDF on a couple of cores.
+    ``repartition="auto"`` (for MATERIALIZED inputs only — checkpointed or
+    parquet-backed) reads the real partition count and skips the full-text
+    shuffle when the input is already wide enough.
     """
+    from dedup.util import spread_for_udf
+
     cfg = cfg or DedupConfig()
     udf = make_minhash_udf(cfg)
-    if repartition:
+    if repartition == "auto":
+        conversations = spread_for_udf(conversations, materialized=True)
+    elif repartition:
         conversations = conversations.repartition(
             conversations.sparkSession.sparkContext.defaultParallelism
         )

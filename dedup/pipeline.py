@@ -170,7 +170,7 @@ class DedupPipeline:
             self.log(f"ingest rejects: {metrics['ingest_rejects']}")
 
         sigs = self._materialize(
-            "signatures", with_minhash(conv, cfg).select("conv_id", "minhash")
+            "signatures", with_minhash(conv, cfg, repartition="auto").select("conv_id", "minhash")
         )
 
         # candidate pairs from every tier, one union
@@ -196,18 +196,19 @@ class DedupPipeline:
             # (no broadcast hint: the conv_id set is corpus-sized at scale;
             # AQE picks broadcast itself when it is actually small)
             turns_f = turns_f.join(conv.select("conv_id"), "conv_id", "left_semi")
-            # UDF cost scales with ROWS, not bytes: a raw scan of few large
-            # files yields few splits (Spark sizes splits by bytes), which
-            # would serialize the signature UDF on a handful of cores —
-            # repartition to the cluster's parallelism first.
-            par = self.spark.sparkContext.defaultParallelism
+            # No repartition before the UDF: this input is scan-fed
+            # (session maxPartitionBytes=16MB guarantees ≥ corpus_bytes/16MB
+            # splits — already ≥ parallelism for any corpus where the UDF
+            # cost matters), and an unconditional repartition would shuffle
+            # the FULL raw text payload (measured: 1.3 GB moved for nothing
+            # at 6.4M turns; walls equal at same-moment host speed).
             # ALWAYS materialize the per-turn simhash table (fused or not):
             # the stats-first pair kernel reads the banded rows from two
             # subtrees (the stats agg + the s>2 membership join), and
             # without a checkpoint the simhash UDF — the most expensive
             # kernel in the stage — would run once per subtree
             sh = (
-                with_turn_simhash(turns_f.repartition(par), cfg)
+                with_turn_simhash(turns_f, cfg)
                 .select("conv_id", "turn_idx", "simhash")
                 .localCheckpoint()
             )
@@ -249,7 +250,9 @@ class DedupPipeline:
             # keeps LCS (the most expensive verifier) for pairs only the
             # span tier can see. Final edge SET is unchanged.
             cheap_edges = cheap_edges.localCheckpoint()
-            span_cand, span_overflow = span_candidate_pairs(conv, cfg, materialize=mat)
+            span_cand, span_overflow = span_candidate_pairs(
+                conv, cfg, materialize=mat, input_materialized=True
+            )
             overflow_dfs["span_overflow_anchors"] = span_overflow
             new_cand = span_cand.join(
                 cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"

@@ -106,17 +106,23 @@ def longest_common_substring_len(a: str, b: str, lo: int = 1) -> int:
     return best
 
 
-def doc_anchors(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
+def doc_anchors(
+    conversations: DataFrame,
+    cfg: DedupConfig | None = None,
+    input_materialized: bool = False,
+) -> DataFrame:
     """(conv_id, doc) → (conv_id, anchor_hash), one row per distinct anchor.
 
     Anchors are ``anchor_w``-char windows with mixed hash ≡ 0 mod
     span_anchor_mod, computed in a pandas UDF over the normalized doc.
     """
+    from dedup.util import spread_for_udf
+
     cfg = cfg or DedupConfig()
     w, mod, cap = 64, cfg.span_anchor_mod, cfg.span_doc_cap
-    conversations = conversations.repartition(
-        conversations.sparkSession.sparkContext.defaultParallelism
-    )
+    # spread rows for the UDF; a checkpointed input that is already wide
+    # skips the full-doc-text shuffle (see util.spread_for_udf)
+    conversations = spread_for_udf(conversations, materialized=input_materialized)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def anchors_udf(docs: pd.Series) -> pd.Series:
@@ -139,7 +145,10 @@ def doc_anchors(conversations: DataFrame, cfg: DedupConfig | None = None) -> Dat
 
 
 def span_candidate_pairs(
-    conversations: DataFrame, cfg: DedupConfig | None = None, materialize: bool = True
+    conversations: DataFrame,
+    cfg: DedupConfig | None = None,
+    materialize: bool = True,
+    input_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Anchor-join candidates: pairs sharing ≥ min_span_len/(4·mod) anchors.
 
@@ -158,7 +167,7 @@ def span_candidate_pairs(
 
     cfg = cfg or DedupConfig()
     min_shared = max(2, cfg.min_span_len // (4 * cfg.span_anchor_mod))
-    anchors = doc_anchors(conversations, cfg).localCheckpoint()
+    anchors = doc_anchors(conversations, cfg, input_materialized).localCheckpoint()
 
     # bucket pairing (see lsh.bucketed_pairs); hot anchors (boilerplate)
     # emit star edges + overflow rows instead of O(n²) pairs — a star edge
