@@ -173,14 +173,61 @@ class DedupPipeline:
             "signatures", with_minhash(conv, cfg, repartition="auto").select("conv_id", "minhash")
         )
 
-        # candidate pairs from every tier, one union
+        # candidate pairs from every tier, one union. The tier kernels make
+        # EAGER checkpoints (bucket stats, the simhash table), so on resume
+        # — when the pairs stage already exists on disk — they must not
+        # even be constructed; the overflow metrics they would feed are
+        # already accounted in the resumed run's lineage.
         mat = not self.fused
+        pairs_done = self._done("pairs")
+        overflow_dfs: dict[str, DataFrame] = {}
+        all_pairs = None
+        if not pairs_done:
+            all_pairs = self._build_pair_union(turns, conv, sigs, mat, overflow_dfs)
+        pairs = self._materialize("pairs", all_pairs)
+
+        if self._done("edges"):
+            # same resume guard as above: the span tier's eager anchor
+            # checkpoint must not run when the edge set is already on disk
+            edges = self._materialize("edges", None)
+            return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
+
+        cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
+        if self.enable_span:
+            # Span tier runs LAST, against the already-accepted edge set:
+            # exact copies and near-dups share most anchors and would all
+            # become span candidates, but their LCS verification is pure
+            # waste — the cheaper tiers already accepted them. Anti-join
+            # keeps LCS (the most expensive verifier) for pairs only the
+            # span tier can see. Final edge SET is unchanged.
+            cheap_edges = cheap_edges.localCheckpoint()
+            span_cand, span_overflow = span_candidate_pairs(
+                conv, cfg, materialize=mat, input_materialized=True
+            )
+            overflow_dfs["span_overflow_anchors"] = span_overflow
+            new_cand = span_cand.join(
+                cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
+            )
+            span_edges = (
+                verify_span_pairs(new_cand, conv, cfg)
+                .drop("span_len")
+                .withColumn("similarity", F.lit(None).cast("double"))
+                .select("conv_a", "conv_b", "source", "similarity")
+            )
+            cheap_edges = cheap_edges.unionByName(span_edges)
+
+        edges = self._materialize("edges", cheap_edges)
+        return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
+
+    def _build_pair_union(self, turns, conv, sigs, mat, overflow_dfs):
+        cfg = self.cfg
         # dedup=False: the strongest-source groupBy below is the single
         # pair-dedup shuffle for every tier — a per-tier dropDuplicates
         # would shuffle the same pair set twice
         lsh_pairs, lsh_overflow = candidate_pairs(
             sigs, cfg, materialize=mat, dedup=False
         )
+        overflow_dfs["lsh_overflow_buckets"] = lsh_overflow
         pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
         if self.enable_simhash:
             from dedup.assemble import turn_filters
@@ -215,6 +262,7 @@ class DedupPipeline:
             sh_pairs, sh_overflow = simhash_conv_pairs(
                 sh, cfg, materialize=mat, return_overflow=True
             )
+            overflow_dfs["simhash_overflow_buckets"] = sh_overflow
             pair_dfs.append(sh_pairs)
         all_pairs = pair_dfs[0]
         for p in pair_dfs[1:]:
@@ -229,44 +277,18 @@ class DedupPipeline:
             .otherwise(2)
         )
         names = F.array(F.lit("exact"), F.lit("simhash"), F.lit("lsh"))
-        all_pairs = (
+        return (
             all_pairs.withColumn("_prio", prio)
             .groupBy("conv_a", "conv_b")
             .agg(F.min("_prio").alias("_prio"))
             .withColumn("source", F.element_at(names, F.col("_prio") + 1))
             .drop("_prio")
         )
-        pairs = self._materialize("pairs", all_pairs)
-        overflow_dfs = {"lsh_overflow_buckets": lsh_overflow}
-        if self.enable_simhash:
-            overflow_dfs["simhash_overflow_buckets"] = sh_overflow
 
-        cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
-        if self.enable_span:
-            # Span tier runs LAST, against the already-accepted edge set:
-            # exact copies and near-dups share most anchors and would all
-            # become span candidates, but their LCS verification is pure
-            # waste — the cheaper tiers already accepted them. Anti-join
-            # keeps LCS (the most expensive verifier) for pairs only the
-            # span tier can see. Final edge SET is unchanged.
-            cheap_edges = cheap_edges.localCheckpoint()
-            span_cand, span_overflow = span_candidate_pairs(
-                conv, cfg, materialize=mat, input_materialized=True
-            )
-            overflow_dfs["span_overflow_anchors"] = span_overflow
-            new_cand = span_cand.join(
-                cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
-            )
-            span_edges = (
-                verify_span_pairs(new_cand, conv, cfg)
-                .drop("span_len")
-                .withColumn("similarity", F.lit(None).cast("double"))
-                .select("conv_a", "conv_b", "source", "similarity")
-            )
-            cheap_edges = cheap_edges.unionByName(span_edges)
+    def _finish(self, edges, conv, metrics, overflow_dfs, _pre_ids):
+        from dedup.util import persistent_rdd_ids, unpersist_ids
 
-        edges = self._materialize("edges", cheap_edges)
-
+        cfg = self.cfg
         # Overflow metrics (no silent caps — the north rule): all tier
         # overflow counts are batched into ONE tiny union-agg job instead of
         # one standalone .count() per tier; it must run here, before the

@@ -103,3 +103,21 @@ def test_fused_run_identical_clusters(spark, turns_df, pipeline_run):
     ).run(turns_df)
     assert _cluster_map(fused) == _cluster_map(pipeline_run)
     assert "tier_metrics_skipped" in fused.metrics
+
+
+def test_full_resume_runs_no_eager_tier_work(spark, turns_df, tmp_path):
+    """Resuming a fully-materialized run must not construct the tier
+    kernels: their eager localCheckpoints (bucket stats, simhash table,
+    span anchors) would otherwise recompute tier work the parquet stages
+    already hold. Detectable as zero new persistent RDDs across the
+    resumed run."""
+    from dedup.config import DedupConfig
+    from dedup.pipeline import DedupPipeline
+    from dedup.util import persistent_rdd_ids
+
+    run_dir = str(tmp_path / "resume_run")
+    DedupPipeline(spark, DedupConfig(), run_dir=run_dir).run(turns_df)
+    pre = persistent_rdd_ids(spark)
+    res2 = DedupPipeline(spark, DedupConfig(), run_dir=run_dir).run(turns_df)
+    assert all(s.resumed for s in res2.stages), res2.stages
+    assert persistent_rdd_ids(spark) == pre
