@@ -423,19 +423,22 @@ _NORM_SQL = r"regexp_replace(lower(doc), '[\s\x1c-\x1f]+', ' ', 'g')"
 
 
 def _neardup_minhash_oracle() -> str:
-    """True char-9-gram Jaccard over all conversation pairs ≥ 0.7 — what the
+    """True byte-9-gram Jaccard over all conversation pairs ≥ 0.7 — what the
     Spark side's LSH + exact-verify computes (see q_neardup_docs_minhash).
 
-    ASCII-corpus constraint: this SQL windows over CHARACTERS while the
-    Spark side shingles UTF-8 BYTES (dedup.minhash.shingle_hashes); they
-    agree exactly because the driver documents fixture is ASCII (verified —
-    derive_transcripts output is [ -~]*). A non-ASCII fixture would need
-    the oracle to window octets (substr over encode(nd)) instead."""
+    The Spark side shingles UTF-8 BYTES (dedup.minhash.shingle_hashes:
+    9-byte windows at every byte offset, one whole-text shingle when
+    shorter). DuckDB 1.0 has no BLOB substring, so the oracle windows the
+    HEX encoding — substr(hex, 2i-1, 18) is exactly the i-th 9-byte window
+    — making the mirror byte-exact for non-ASCII text too (the r03 ASCII
+    fixture constraint is engineered away, not documented around)."""
     return _TC + f""",
-nrm AS (SELECT conv_id, {_NORM_SQL} AS nd FROM conversations),
+nrm AS (SELECT conv_id, hex(encode({_NORM_SQL})) AS hx,
+               octet_length(encode({_NORM_SQL})) AS nb
+        FROM conversations),
 sh AS (
-    SELECT DISTINCT conv_id, substr(nd, i, 9) AS g
-    FROM nrm, unnest(generate_series(1, greatest(length(nd) - 8, 1))) AS t(i)
+    SELECT DISTINCT conv_id, substr(hx, 2 * i - 1, 18) AS g
+    FROM nrm, unnest(generate_series(1, greatest(nb - 8, 1))) AS t(i)
 ),
 cnt AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY conv_id),
 inter AS (
@@ -450,27 +453,33 @@ WHERE i / (ca.n + cb.n - i) >= 0.7
 
 
 def _span_pairs_oracle() -> str:
-    """LCS(a, b) ≥ 150 ⟺ the normalized docs share a 150-char gram.
+    """LCS(a, b) ≥ 150 BYTES ⟺ the normalized docs share a 150-byte gram.
 
-    Scope constraints mirrored from the Spark side (same ASCII byte=char
-    note as _neardup_minhash_oracle):
-    - span_doc_cap: doc_anchors truncates each normalized doc to 1M chars
-      (cfg.span_doc_cap); the substr(nd, 1, 1000000) below mirrors it so a
-      shared span past the cap diverges in NEITHER engine. Driver docs are
-      ~kB-sized, so the cap is never hit at oracle scale — the clause
-      exists so the equality is by construction, not by fixture luck.
+    The Spark span tier is byte-level throughout (suffix.py rolls hashes
+    over the UTF-8 encoding at every byte offset), so the oracle windows
+    octets via the hex encoding — substr(hex, 2i-1, 300) is the i-th
+    150-byte window — byte-exact for non-ASCII text (no char=byte fixture
+    assumption). Scope constraints mirrored from the Spark side:
+    - span_doc_cap: doc_anchors truncates each normalized doc to 1M CHARS
+      (py_normalize(doc)[:cap] — a Python char slice, before encoding);
+      the substr(nd, 1, 1000000) below is DuckDB's char-based substr, the
+      same slice, so a shared span past the cap diverges in NEITHER
+      engine. Driver docs are ~kB-sized; the clause exists so the
+      equality is by construction, not by fixture luck.
     - sampled-anchor recall: the Spark side requires ≥2 sampled anchors
       (hash % span_anchor_mod == 0) inside the shared span. At
-      min_span_len=150 and mod=16 (the q_span_pairs config) a 150-char
+      min_span_len=150 and mod=16 (the q_span_pairs config) a 150-byte
       span contains ≥ ~9 expected anchors, so recall of true spans is
       effectively 1 at this fixture scale; the pytest suite covers the
       anchor-sampling recall bound directly."""
     return _TC + f""",
-nrm AS (SELECT conv_id, substr({_NORM_SQL}, 1, 1000000) AS nd FROM conversations),
+nrm AS (SELECT conv_id, hex(encode(substr({_NORM_SQL}, 1, 1000000))) AS hx,
+               octet_length(encode(substr({_NORM_SQL}, 1, 1000000))) AS nb
+        FROM conversations),
 g AS (
-    SELECT DISTINCT conv_id, substr(nd, i, 150) AS g
-    FROM nrm, unnest(generate_series(1, length(nd) - 149)) AS t(i)
-    WHERE length(nd) >= 150
+    SELECT DISTINCT conv_id, substr(hx, 2 * i - 1, 300) AS g
+    FROM nrm, unnest(generate_series(1, nb - 149)) AS t(i)
+    WHERE nb >= 150
 )
 SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
 FROM g a JOIN g b ON a.g = b.g AND a.conv_id < b.conv_id

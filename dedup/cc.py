@@ -24,23 +24,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cc_loop_width(n_edges: int, parallelism: int) -> int:
+    """Shuffle width for the label loop, EDGE-PROPORTIONAL (not a fixed
+    fraction of cluster parallelism): the label table is small relative to
+    the corpus, so at low edge counts per-round cost is pure shuffle-task
+    latency and the loop runs narrow — but a 100×-denser duplicate graph
+    must not run its whole loop on a handful of partitions. Width scales
+    with the SYMMETRIC adjacency row count (2·edges) at ~250k rows/task,
+    clamped to [2, 8×parallelism] (more partitions than cores is fine —
+    it bounds per-task memory; fewer than 2 never makes sense)."""
+    return max(2, min((2 * n_edges + 250_000 - 1) // 250_000, 8 * parallelism))
+
+
 def connected_components(
-    edges: DataFrame, max_iters: int = 25, log=None
+    edges: DataFrame, max_iters: int = 25, log=None, n_edges: int | None = None
 ) -> DataFrame:
-    """edges(conv_a, conv_b) → labels(conv_id, cluster_id)."""
-    edges = edges.select("conv_a", "conv_b").dropDuplicates()
-    # The label table is tiny relative to the corpus (only members of
-    # candidate pairs); per-round cost is shuffle-task latency, so run the
-    # whole loop at a reduced parallelism instead of the corpus-wide
-    # shuffle width.
+    """edges(conv_a, conv_b) → labels(conv_id, cluster_id).
+
+    ``n_edges``: optional pre-known (deduplicated) edge count — callers that
+    already counted the edge table (the pipeline's stage checkpoint) pass it
+    so the loop width is sized without an extra job.
+    """
+    from dedup.util import persistent_rdd_ids, unpersist_ids
+
     spark = edges.sparkSession
-    cc_parts = max(2, spark.sparkContext.defaultParallelism // 4)
-    # symmetric adjacency: one DataFrame, both directions
-    # every frame this loop pins (localCheckpoint/persist) is unpersisted
-    # before returning, so standalone callers don't leak cached label RDDs
-    # for the rest of the session (the returned frame is its own checkpoint)
+    # every frame this loop pins (localCheckpoint/persist) is freed before
+    # returning — at the RDD-id level: DataFrame.unpersist() is a no-op for
+    # localCheckpoint-ed frames (the cache manager never saw their RDDs), so
+    # standalone callers would otherwise leak label blocks for the session
+    _pre_ids = persistent_rdd_ids(spark)
     pinned: list[DataFrame] = []
 
+    edges = edges.select("conv_a", "conv_b").dropDuplicates()
+    if n_edges is None:
+        edges = edges.localCheckpoint()
+        pinned.append(edges)
+        n_edges = edges.count()
+    cc_parts = cc_loop_width(n_edges, spark.sparkContext.defaultParallelism)
+
+    # symmetric adjacency: one DataFrame, both directions
     sym = (
         edges.unionByName(
             edges.select(
@@ -116,8 +138,13 @@ def connected_components(
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
 
     # cut the result loose from every loop-pinned frame, then free them all:
-    # the caller gets exactly one pinned frame (its own checkpoint) back
+    # the caller gets exactly one pinned frame (its own checkpoint) back.
+    # Freeing is RDD-id-level (util.unpersist_ids): df.unpersist() finds
+    # persist()-ed frames in the cache manager but NOT localCheckpoint-ed
+    # ones, whose RDDs are pinned directly (the r03 advisor leak).
+    _loop_ids = persistent_rdd_ids(spark) - _pre_ids
     out = labels.select("conv_id", F.col("label").alias("cluster_id")).localCheckpoint()
     for df in pinned:
-        df.unpersist()
+        df.unpersist()  # clears cache-manager entries for persist()-ed rounds
+    unpersist_ids(spark, _loop_ids)  # frees the localCheckpoint-ed RDDs too
     return out

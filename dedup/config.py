@@ -88,15 +88,16 @@ class DedupConfig:
     #: bits split into this many blocks; a pair within simhash_hamming
     #: differs in ≤ hamming blocks, so it matches exactly on at least
     #: (blocks - hamming) of them → band key = every (blocks-hamming)-subset
-    #: of blocks. blocks=4/hamming=3 gives 4 tables of 16-bit keys — only
-    #: 65k buckets, so bucket size (and candidate pairs) grows QUADRATICALLY
-    #: with corpus size. The default 6 gives C(6,3)=20 tables of ~32-bit
-    #: keys: 5× the banded rows, ~65000× fewer collision-driven candidate
-    #: pairs. The FINAL pair set is identical either way (exact Hamming
-    #: filter decides); only candidate volume changes. None ⇒ adapt to the
-    #: measured distinct-fingerprint count (simhash.pick_simhash_blocks):
-    #: ~1.4M distinct → 5 blocks / 10 tables / ~25-bit keys; ~10⁹ distinct
-    #: → 7 blocks / 35 tables / ~36-bit keys.
+    #: of blocks. Must exceed simhash_hamming (enforced — fewer blocks
+    #: breaks the pigeonhole recall guarantee). Fewer blocks ⇒ fewer/wider
+    #: tables but exponentially more random same-key collisions; more
+    #: blocks ⇒ more banded rows shuffled. The FINAL pair set is identical
+    #: for every valid value (the exact Hamming filter decides); only
+    #: candidate volume changes. Default None ⇒ adapt to the measured
+    #: distinct-fingerprint count via simhash.pick_simhash_blocks's
+    #: measured cost model (streamed candidate ≈ 1/300 of a shuffled band
+    #: row): ~1.4M distinct → 4 blocks / 4 tables; ~10⁹ distinct → 5
+    #: blocks / 10 tables; ~10¹¹ → 6 blocks / 20 tables.
     simhash_blocks: int | None = None
 
     # ---- suffix / shared-span tier ---------------------------------------

@@ -22,7 +22,7 @@ no oracle is needed. All hashing is JVM-side codegen — zero Python here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
@@ -47,15 +47,21 @@ def prune_singleton_blocks(conversations: DataFrame, key: str = "block_key") -> 
     tier skip fingerprinting unique conversations entirely
     (reference: /root/reference/src/processor.rs:41-42, re-check :56).
 
-    A window count over the block key: one shuffle, no join, and Catalyst
-    pushes the count into a partial aggregate.
+    groupBy-count + semi-join rather than a window count: a window puts the
+    whole group in ONE task's partition — a 10⁷-copy boilerplate template
+    becomes a straggler AQE cannot split (AQE splits skewed JOIN partitions,
+    not window partitions). The groupBy combines map-side, so the count
+    table is one skinny row per distinct key; AQE broadcasts it when small
+    and skew-splits the semi-join when not — the corpus rows never hit an
+    unsplittable single-key partition.
     """
-    w = Window.partitionBy(key)
-    return (
-        conversations.withColumn("_block_n", F.count(F.lit(1)).over(w))
+    multi = (
+        conversations.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_block_n"))
         .where(F.col("_block_n") > 1)
-        .drop("_block_n")
+        .select(key)
     )
+    return conversations.join(multi, key, "left_semi")
 
 
 def with_exact_hashes(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
@@ -102,12 +108,9 @@ def exact_clusters(conversations: DataFrame, cfg: DedupConfig | None = None) -> 
     keyed = blocked.withColumn(
         "dup_key", F.concat_ws(":", F.col("block_key").cast("string"), dup_key)
     )
-    w = Window.partitionBy("dup_key")
-    return (
-        keyed.withColumn("_n", F.count(F.lit(1)).over(w))
-        .where(F.col("_n") > 1)
-        .drop("_n")
-    )
+    # same de-skewed multi-member filter as prune_singleton_blocks: groupBy
+    # (map-side combine) + semi-join, never a single-task window partition
+    return prune_singleton_blocks(keyed, key="dup_key")
 
 
 def exact_pairs(conversations: DataFrame, cfg: DedupConfig | None = None) -> DataFrame:
@@ -117,8 +120,11 @@ def exact_pairs(conversations: DataFrame, cfg: DedupConfig | None = None) -> Dat
     which matters when a templated conversation has thousands of copies.
     """
     clus = exact_clusters(conversations, cfg)
-    w = Window.partitionBy("dup_key")
-    star = clus.withColumn("anchor", F.min("conv_id").over(w)).where(
+    # group-min via aggregation + join (not a window): one skinny row per
+    # dup group after map-side combine; a mega-group's members join against
+    # it in AQE-splittable partitions instead of piling into one window task
+    anchors = clus.groupBy("dup_key").agg(F.min("conv_id").alias("anchor"))
+    star = clus.join(anchors, "dup_key").where(
         F.col("conv_id") != F.col("anchor")
     )
     return star.select(

@@ -98,7 +98,9 @@ def formatted_report(clusters_with_rep: DataFrame, conversations: DataFrame) -> 
       sort at scale; a broadcast nested loop of one row is free;
       H4 pad: /root/reference/src/formatter.rs:15-26);
     - ``group_width``: per-cluster max width (A5 — reference:
-      /root/reference/src/interactive.rs:33-37), a plain window max;
+      /root/reference/src/interactive.rs:33-37) — a groupBy-max joined
+      back (map-side combine, AQE-splittable) rather than a window max,
+      so one mega-cluster never serializes into a single window task;
     - ``size_h``: human filesize (H5), ``mtime_h``: formatted first_ts (H6,
       reference: /root/reference/src/formatter.rs:32-35).
     """
@@ -107,14 +109,17 @@ def formatted_report(clusters_with_rep: DataFrame, conversations: DataFrame) -> 
         meta, "conv_id", "left"
     )
     width = rows.agg(F.max(F.length("conv_id")).cast("int").alias("_w"))
-    gw = Window.partitionBy("cluster_id")
+    gwidth = rows.groupBy("cluster_id").agg(
+        F.max(F.length("conv_id")).cast("int").alias("group_width")
+    )
     return (
         rows.join(F.broadcast(width))
+        .join(gwidth, "cluster_id")
         .select(
             "cluster_id",
             "conv_id",
             F.expr("rpad(conv_id, _w, ' ')").alias("conv_id_padded"),
-            F.max(F.length("conv_id")).over(gw).cast("int").alias("group_width"),
+            "group_width",
             "is_representative",
             human_size(F.col("total_chars")).alias("size_h"),
             F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("mtime_h"),

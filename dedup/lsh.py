@@ -113,6 +113,11 @@ def route_bucket_pairs(
     shuffle). ``keyed`` = (bucket_cols..., m: struct); ``stats`` =
     (bucket_cols..., s, m0, m1) with s > 1, and should be materialized (its
     three consumers get no exchange reuse)."""
+    if cap < 2:
+        # the s==2 fast path is unconditional; a cap below 2 would emit a
+        # size-2 bucket BOTH as a fast-path pair and a star edge, and the
+        # duplicate rows would double-count span-tier shared_anchors
+        raise ValueError(f"band_bucket_cap must be >= 2, got {cap}")
     pairs_two = stats.where(F.col("s") == 2).select(
         F.col("m0").alias("a"), F.col("m1").alias("b")
     )

@@ -1,12 +1,15 @@
 """Pure-Python/numpy media codecs for the multimodal tier: PNG (zlib +
-struct, RFC 2083) and WAV (RIFF PCM). No PIL/ffmpeg — these two formats are
-just structured bytes, so the decode slot of the multimodal pipeline can be
-REAL for them; only codec-bound formats (mp4 et al.) remain stubs.
+struct, RFC 2083), WAV (RIFF PCM), and AVI video with uncompressed BI_RGB
+frames (RIFF, the same chunk walk as WAV). No PIL/ffmpeg — these formats
+are just structured bytes, so the decode slot of the multimodal pipeline is
+REAL for image, audio, AND video; codec-bound containers (mp4/h264 et al.)
+raise an explicit ValueError at decode (transcode upstream), never a stub.
 
 Scope: grayscale (color type 0) and RGB8 (color type 2) PNG, bit depth 8,
 non-interlaced, all five scanline filters on decode (encode always writes
-filter 0); 16-bit mono/stereo PCM WAV. Enough to round-trip everything
-``synth_media`` produces and anything a test plants.
+filter 0); 16-bit mono/stereo PCM WAV; 24-bit BI_RGB AVI ('00db' DIB
+frames, bottom-up BGR rows, 4-byte row stride). Enough to round-trip
+everything ``synth_media`` produces and anything a test plants.
 """
 
 from __future__ import annotations
@@ -139,6 +142,100 @@ def wav_encode(samples: np.ndarray, rate: int = 8000, channels: int = 1) -> byte
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_list(four_cc: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", len(body) + 4) + four_cc + body
+
+
+def _avi_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def avi_encode(frames: np.ndarray, fps: int = 10) -> bytes:
+    """[n,h,w,3] uint8 RGB frames → AVI bytes with uncompressed BI_RGB
+    '00db' DIB frames (bottom-up BGR rows, stride padded to 4 bytes) —
+    the one video container that, like WAV, is pure structured bytes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected [n,h,w,3] RGB frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+    us_per_frame = 1_000_000 // fps
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, frame_bytes * fps, 0, 0, n, 0, 1, frame_bytes, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n,
+                                        frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h)
+    )
+    # BITMAPINFOHEADER: biCompression=0 is BI_RGB (uncompressed)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi_frames = []
+    pad = np.zeros((h, stride - w * 3), dtype=np.uint8)
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, BGR channel order
+        rows = np.concatenate([bgr.reshape(h, w * 3), pad], axis=1)
+        movi_frames.append(_avi_chunk(b"00db", rows.tobytes()))
+    movi = _avi_list(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """AVI bytes → ([n,h,w,3] uint8 RGB frames, us_per_frame). Uncompressed
+    BI_RGB 24-bit '00db'/'00dc' frames only; anything codec-bound (mp4,
+    h264-in-avi) raises ValueError — an explicit boundary, not a stub."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    w = h = None
+    us_per_frame = 0
+    frames = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)
+            if tag == b"LIST":
+                walk(body[4:])  # skip the list's fourcc, recurse into chunks
+            elif tag == b"avih":
+                vals = struct.unpack("<10I", body[:40])
+                us_per_frame, w, h = vals[0], vals[8], vals[9]
+            elif tag == b"strf":
+                size, bw, bh, _planes, bits, compression = struct.unpack(
+                    "<IiiHHI", body[:20]
+                )
+                if compression != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported AVI codec (compression={compression}, "
+                        f"bits={bits}); only uncompressed BI_RGB 24-bit is "
+                        "decodable without ffmpeg — transcode upstream"
+                    )
+            elif tag in (b"00db", b"00dc"):
+                frames.append(body)
+
+    walk(data[12:])
+    if w is None or not frames:
+        raise ValueError("AVI missing avih header or frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1]  # re-flip to RGB
+    return out, us_per_frame
 
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, int]:

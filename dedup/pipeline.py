@@ -313,8 +313,17 @@ class DedupPipeline:
         if self._done("clusters"):
             clusters = self._materialize("clusters", None)  # loads from disk
         else:
+            # edge count from the stage lineage (exact when the stage was
+            # written+counted; -1 for in-memory runs → CC counts its own
+            # checkpointed edges) sizes the label loop's shuffle width
+            n_edges = next(
+                (e["rows"] for e in self._lineage if e["stage"] == "edges"), None
+            )
             cc = connected_components(
-                edges.select("conv_a", "conv_b"), cfg.cc_max_iters, log=self.log
+                edges.select("conv_a", "conv_b"),
+                cfg.cc_max_iters,
+                log=self.log,
+                n_edges=None if n_edges is None or n_edges < 0 else n_edges,
             )
             _before_clusters = persistent_rdd_ids(self.spark)
             clusters = self._materialize(

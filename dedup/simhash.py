@@ -248,6 +248,11 @@ def pick_simhash_blocks(
     """
     from math import comb
 
+    if hamming + 1 > max_blocks:
+        raise ValueError(
+            f"pigeonhole banding needs > simhash_hamming blocks: "
+            f"hamming={hamming} admits no block count <= max_blocks={max_blocks}"
+        )
     STREAM_VS_SHUFFLE = 300.0
     best_b, best_cost = None, None
     for b in range(hamming + 1, max_blocks + 1):
@@ -266,6 +271,15 @@ def _band_structs(cfg: DedupConfig, nb: int, col: str = "simhash") -> list:
     from itertools import combinations
 
     bits, k = cfg.simhash_bits, cfg.simhash_hamming
+    if nb <= k:
+        # with nb <= hamming blocks, a pair within Hamming k can differ in
+        # EVERY block — no subset key is guaranteed equal and the pigeonhole
+        # recall guarantee silently breaks (clamping to 1-block subsets
+        # would just miss those pairs with no error or overflow row)
+        raise ValueError(
+            f"simhash_blocks={nb} must exceed simhash_hamming={k}: "
+            f"pigeonhole banding needs >= hamming+1 blocks for full recall"
+        )
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]
     blk = [

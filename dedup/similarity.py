@@ -227,11 +227,27 @@ def kmeans_codebook_parquet(
     still runs distributed); doing the tiny Lloyd's loop in ONE process is
     what lets the Spark query and the DuckDB oracle consume IDENTICAL
     centroid literals — no cross-engine floating-point aggregation-order
-    divergence. Returns plain Python float lists (exact doubles)."""
+    divergence. Returns plain Python float lists (exact doubles).
+
+    The read is BOUNDED: ``ParquetFile.iter_batches`` streams row-group
+    batches and stops as soon as ``sample_n`` rows are in hand, so driver
+    memory is O(sample_n · dim) regardless of table size — a 100 TB
+    embeddings table never materializes driver-side. The sample is the
+    FIRST ``sample_n`` rows in the parquet's physical order, then id-sorted
+    for determinism; the driver-testdata embeddings are id-ordered on disk,
+    so this equals the previous (unbounded) head-after-full-sort sample and
+    the oracle's literal centroids are unchanged."""
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(path, columns=[id_col, vec_col])
-    pdf = tbl.to_pandas().sort_values(id_col).head(sample_n)
+    pf = pq.ParquetFile(path)
+    chunks, have = [], 0
+    for batch in pf.iter_batches(columns=[id_col, vec_col], batch_size=max(sample_n, 64)):
+        chunks.append(batch.to_pandas())
+        have += batch.num_rows
+        if have >= sample_n:
+            break
+    pf.close()
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(id_col).head(sample_n)
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return [[float(v) for v in row] for row in kmeans_refine(X, n_centroids, iters)]
 

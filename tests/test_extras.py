@@ -108,23 +108,24 @@ def test_multimodal_decode_and_dups(spark):
     assert len(dups) >= 2  # planted every-8th duplicates found
 
 
-def test_multimodal_real_decode_png_wav(spark):
-    """fake=False REALLY decodes: PNG pixels and WAV samples round-trip
-    through the pure-Python codecs, dup pairs still found on raw-byte hash,
-    and image/audio features differ from the byte-level fake ones."""
+def test_multimodal_real_decode_png_wav_avi(spark):
+    """fake=False REALLY decodes: PNG pixels, WAV samples, and AVI frames
+    round-trip through the pure-Python codecs, dup pairs still found on
+    raw-byte hash, and every kind's features differ from the byte-level
+    fake ones."""
     from dedup.multimodal import decode_media, media_exact_dups, synth_media
 
     media = synth_media(spark, n=24)
     real = {r.media_id: r for r in decode_media(media, fake=False).collect()}
     fake = {r.media_id: r for r in decode_media(media, fake=True).collect()}
     assert len(real) == 24
-    changed = 0
+    changed = set()
     for mid, r in real.items():
         assert abs(float(np.linalg.norm(r.feature)) - 1.0) < 1e-5
         assert r.content_hash == fake[mid].content_hash  # hash is over raw bytes
-        if r.kind in ("image", "audio") and list(r.feature) != list(fake[mid].feature):
-            changed += 1
-    assert changed > 0, "real decode produced identical features to the byte fake"
+        if list(r.feature) != list(fake[mid].feature):
+            changed.add(r.kind)
+    assert changed == {"image", "audio", "video"}, changed
     dups = media_exact_dups(decode_media(media, fake=False)).collect()
     assert len(dups) >= 2
 
@@ -163,11 +164,38 @@ def test_multimodal_resize_and_codec_roundtrip(spark):
     assert n_img > 0
 
 
-def test_multimodal_frame_sample_is_explicit_stub(spark):
-    from dedup.multimodal import frame_sample_stub, synth_media
+def test_multimodal_frame_sample_real_avi(spark):
+    """frame_sample REALLY decodes AVI video rows: sampled frames round-trip
+    to the planted pixel data through the PNG re-encode; non-video rows are
+    excluded; codec-bound payloads raise an explicit ValueError."""
+    from dedup.mediacodec import avi_decode, png_decode
+    from dedup.multimodal import frame_sample, synth_media
 
-    with pytest.raises(NotImplementedError):
-        frame_sample_stub(synth_media(spark, n=3), every_ms=100)
+    media = synth_media(spark, n=12)
+    video_raw = {
+        r.media_id: bytes(r.data) for r in media.collect() if r.kind == "video"
+    }
+    rows = frame_sample(media, every_ms=100).collect()
+    assert rows and {r.media_id for r in rows} == set(video_raw)
+    for r in rows:
+        frames, _ = avi_decode(video_raw[r.media_id])
+        assert np.array_equal(png_decode(bytes(r.data)), frames[r.frame_idx])
+        assert (r.width, r.height) == (frames.shape[2], frames.shape[1])
+    # every_ms=100 at 10 fps (100 ms/frame) samples EVERY frame
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in per_vid.items():
+        frames, _ = avi_decode(video_raw[mid])
+        assert sorted(idxs) == list(range(len(frames)))
+
+    # explicit boundary: a non-AVI video payload is a ValueError, not a stub
+    bad = spark.createDataFrame(
+        [(99, "video", b"\x00\x01mp4-ish", None, None, 1000, "video/mp4")],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="RIFF/AVI"):
+        frame_sample(bad, every_ms=100).collect()
 
 
 def test_table_io_roundtrip_and_delete(spark, tmp_path):
@@ -476,3 +504,116 @@ def test_ivf_kmeans_codebook_recall_uplift(spark):
     )
     assert r_kmeans >= r_first, (r_kmeans, r_first)
     assert r_kmeans >= 0.9, r_kmeans
+
+
+def test_ivf_codebook_read_is_bounded(monkeypatch, tmp_path):
+    """The IVF codebook sample must never materialize the whole embeddings
+    parquet driver-side (VERDICT r03 #1): pq.read_table is forbidden, the
+    streamed iter_batches read stops after sample_n rows, and the sampled
+    centroids equal the old full-read-then-head result on an id-ordered file."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dedup.similarity import kmeans_codebook_parquet, kmeans_refine
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 8
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [rng.normal(size=dim).tolist() for _ in range(n)]}
+    )
+    path = str(tmp_path / "emb.parquet")
+    pdf.to_parquet(path, row_group_size=50)
+
+    # reference result via the old (unbounded) formulation, computed inline
+    X = np.array(
+        [np.asarray(v, dtype=np.float64) for v in pdf.sort_values("vec_id")["embedding"].head(96)]
+    )
+    expect = [[float(v) for v in row] for row in kmeans_refine(X, 8, 2)]
+
+    monkeypatch.setattr(
+        pq, "read_table", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("unbounded pq.read_table on the codebook path")
+        )
+    )
+    real_pf = pq.ParquetFile
+
+    captured = {}
+
+    class CountingPF(real_pf):
+        def iter_batches(self, *a, **k):
+            for b in super().iter_batches(*a, **k):
+                captured["rows"] = captured.get("rows", 0) + b.num_rows
+                yield b
+
+    monkeypatch.setattr(pq, "ParquetFile", CountingPF)
+    got = kmeans_codebook_parquet(path, n_centroids=8, iters=2, sample_n=96)
+    assert got == expect
+    # streamed rows are bounded by sample_n rounded up to row-group batches,
+    # far below the table size
+    assert captured["rows"] < n, captured
+
+
+def test_simhash_block_guards():
+    """ADVICE r03 (medium): nb <= hamming must raise, not silently band on
+    1-block subsets with broken pigeonhole recall."""
+    from dedup.config import DedupConfig
+    from dedup.simhash import _band_structs, pick_simhash_blocks
+
+    cfg = DedupConfig(simhash_hamming=3)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _band_structs(cfg, nb=3)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        _band_structs(cfg, nb=2)
+    assert len(_band_structs(cfg, nb=4)) == 4  # C(4,1) valid
+    with pytest.raises(ValueError, match="no block count"):
+        pick_simhash_blocks(1000, hamming=5, max_blocks=5)
+    assert pick_simhash_blocks(1000, hamming=3, max_blocks=4) == 4
+
+
+def test_bucket_cap_guard(spark):
+    """ADVICE r03 (low): cap < 2 would double-emit size-2 buckets."""
+    from dedup.lsh import bucketed_pairs
+
+    rows = spark.createDataFrame([(1, "a"), (1, "b")], "k int, m string")
+    with pytest.raises(ValueError, match="band_bucket_cap"):
+        bucketed_pairs(rows, ["k"], ["m"], cap=1, materialize=False)
+
+
+def test_cc_width_edge_proportional(spark):
+    """VERDICT r03 #7: the label loop's shuffle width scales with the edge
+    count instead of sitting at a fixed fraction of parallelism."""
+    from dedup.cc import cc_loop_width, connected_components
+
+    par = spark.sparkContext.defaultParallelism
+    assert cc_loop_width(10, par) == 2  # tiny graph -> latency-minimal loop
+    assert cc_loop_width(1_000_000, par) == 8
+    assert cc_loop_width(100_000_000, par) == min(800, 8 * par)
+    assert cc_loop_width(10**12, par) == 8 * par  # clamped, never unbounded
+
+    # integration: n_edges hint sizes the symmetric adjacency's partitions
+    edges = spark.createDataFrame(
+        [(f"a{i}", f"b{i}") for i in range(50)], "conv_a string, conv_b string"
+    )
+    out = connected_components(edges, n_edges=2_000_000)
+    assert out.count() == 100  # 50 disjoint pairs -> 100 labeled nodes
+
+
+def test_cc_frees_all_pinned_rdds(spark):
+    """ADVICE r03 (low): localCheckpoint-ed loop frames must be freed at the
+    RDD level — df.unpersist() alone leaks them for the session."""
+    from dedup.cc import connected_components
+    from dedup.util import free_all_scratch, persistent_rdd_ids
+
+    free_all_scratch(spark)
+    pre = persistent_rdd_ids(spark)
+    edges = spark.createDataFrame(
+        [("x1", "x2"), ("x2", "x3"), ("y1", "y2")], "conv_a string, conv_b string"
+    )
+    out = connected_components(edges)
+    leaked = persistent_rdd_ids(spark) - pre
+    # exactly ONE pinned RDD may remain: the returned frame's own checkpoint
+    assert len(leaked) <= 1, leaked
+    assert out.count() == 5
+    from dedup.util import unpersist_ids
+
+    unpersist_ids(spark, leaked)
