@@ -137,7 +137,11 @@ def main() -> None:
 
     turns = spark.read.parquet(corpus_path)
     n_turns = turns.count()
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    # >= 2 reps by default (VERDICT r03 #3): a single rep taken while the
+    # shared-hypervisor host drifts 2x cannot be adjudicated after the
+    # fact; each rep carries a SAME-MOMENT spin sample so the reported
+    # best-rep wall has its own host-speed context in the JSON.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     # fused + no tier-metric jobs: the benchmark measures the dedup dataflow,
     # not optional accounting; fused correctness is pinned by
     # tests/test_pipeline.py::test_fused_run_identical_clusters
@@ -145,7 +149,7 @@ def main() -> None:
     n_procs = int(CPUS) if str(CPUS).isdigit() else (os.cpu_count() or 8)
     extras["spin_iters_before"] = spin_calibration(n_procs)
     extras["spin_mem_iters_before"] = spin_calibration(n_procs, mem=True)
-    walls, stage_walls = [], []
+    walls, stage_walls, rep_spins = [], [], []
     for _ in range(reps):
         t0 = time.monotonic()
         result = DedupPipeline(
@@ -157,13 +161,16 @@ def main() -> None:
             {s["stage"]: s["seconds"] for s in result.metrics["stages"]}
         )
         free_all_scratch(spark)
-    extras["spin_iters_after"] = spin_calibration(n_procs)
+        rep_spins.append(spin_calibration(n_procs))
+    extras["spin_iters_after"] = rep_spins[-1]
     extras["spin_mem_iters_after"] = spin_calibration(n_procs, mem=True)
-    timings["pipeline_synth"] = round(min(walls), 3)
+    best = walls.index(min(walls))
+    timings["pipeline_synth"] = round(walls[best], 3)
     extras["synth_turns"] = n_turns
     extras["throughput_turns_per_sec"] = round(n_turns / timings["pipeline_synth"], 1)
     extras["pipeline_synth_runs"] = [round(w, 2) for w in walls]
-    extras["pipeline_stage_walls"] = stage_walls[walls.index(min(walls))]
+    extras["pipeline_synth_rep_spins"] = rep_spins  # spin right after rep i
+    extras["pipeline_stage_walls"] = stage_walls[best]
     extras["fused"] = fused
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline_synth":

@@ -37,13 +37,20 @@ def cc_loop_width(n_edges: int, parallelism: int) -> int:
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 25, log=None, n_edges: int | None = None
+    edges: DataFrame,
+    max_iters: int = 25,
+    log=None,
+    n_edges: int | None = None,
+    input_deduped: bool = False,
 ) -> DataFrame:
     """edges(conv_a, conv_b) → labels(conv_id, cluster_id).
 
     ``n_edges``: optional pre-known (deduplicated) edge count — callers that
     already counted the edge table (the pipeline's stage checkpoint) pass it
     so the loop width is sized without an extra job.
+    ``input_deduped``: the caller guarantees one row per undirected pair
+    (the pipeline's edge stage is unique by construction), skipping the
+    defensive dropDuplicates shuffle and the pre-count checkpoint.
     """
     from dedup.util import persistent_rdd_ids, unpersist_ids
 
@@ -55,10 +62,13 @@ def connected_components(
     _pre_ids = persistent_rdd_ids(spark)
     pinned: list[DataFrame] = []
 
-    edges = edges.select("conv_a", "conv_b").dropDuplicates()
+    edges = edges.select("conv_a", "conv_b")
+    if not input_deduped:
+        edges = edges.dropDuplicates()
     if n_edges is None:
-        edges = edges.localCheckpoint()
-        pinned.append(edges)
+        if not input_deduped:
+            edges = edges.localCheckpoint()
+            pinned.append(edges)
         n_edges = edges.count()
     cc_parts = cc_loop_width(n_edges, spark.sparkContext.defaultParallelism)
 
@@ -107,6 +117,13 @@ def connected_components(
 
     # label0 rides along so the convergence check needs NO join back to the
     # previous round — `changed` is a plain agg over the stepped frame.
+    # NOTE: batching MORE hops per round (2,4,4,... before each count) was
+    # measured and REVERTED, like r03's pointer jumping: an 8-join-deep
+    # round re-optimizes under AQE at every stage boundary and the
+    # driver-side planning cost (15-37 s per 4-hop round at sf0.01) dwarfs
+    # the 1-2 saved convergence-check jobs. Two hops per round keeps the
+    # per-round plan shallow enough that job latency, not planning, is the
+    # per-round cost.
     labels = labels.withColumn("label0", F.col("label"))
     prev_cached = None
     for it in range(max_iters):

@@ -69,6 +69,7 @@ class DedupPipeline:
         log=None,
         fused: bool = False,
         tier_metrics: bool = True,
+        concurrent: bool = True,
     ):
         """``fused=True`` skips the tier-internal checkpoints (sized LSH
         buckets, simhash turn/turn-pair tables, anchor tables): Spark's
@@ -78,7 +79,20 @@ class DedupPipeline:
         recomputing tier lineage if a stage-level retry or the
         overflow-metrics job re-reads it (pair a fused benchmark run with
         ``tier_metrics=False``). Stage checkpoints (and resume) are
-        unaffected."""
+        unaffected.
+
+        ``concurrent=True`` (default) builds the independent fingerprint
+        tiers in parallel driver threads: the signature UDF + LSH stats,
+        the SimHash UDF + its pair kernel, and the span anchor UDF share no
+        inputs beyond the conversations stage, so their eager jobs are
+        submitted to the Spark scheduler concurrently. Serializing them
+        (concurrent=False — same DataFrames, same results, sequential
+        submission) leaves most task slots idle during every narrow stage
+        (stats aggregations, checkpoints, Arrow batch boundaries) — idle
+        slots cost nothing on a small cluster but scale linearly with
+        cluster width, which is precisely the N→4N scaling-efficiency
+        failure mode. Stage walls still sum to the run wall; attribution
+        follows stage completion order."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.run_dir = run_dir
@@ -88,6 +102,7 @@ class DedupPipeline:
         self.log = log or (lambda msg: None)
         self.fused = fused
         self.tier_metrics = tier_metrics
+        self.concurrent = concurrent
         self._lineage: list[dict] = []
 
     # ---- checkpoint plumbing -------------------------------------------
@@ -169,67 +184,38 @@ class DedupPipeline:
             metrics["ingest_rejects"] = rej_obs.get
             self.log(f"ingest rejects: {metrics['ingest_rejects']}")
 
-        sigs = self._materialize(
-            "signatures", with_minhash(conv, cfg, repartition="auto").select("conv_id", "minhash")
-        )
-
-        # candidate pairs from every tier, one union. The tier kernels make
-        # EAGER checkpoints (bucket stats, the simhash table), so on resume
-        # — when the pairs stage already exists on disk — they must not
-        # even be constructed; the overflow metrics they would feed are
-        # already accounted in the resumed run's lineage.
+        # Tier construction: the signature UDF (+LSH stats), the SimHash
+        # UDF (+pair kernel) and the span anchor UDF are independent given
+        # the conversations stage. ``concurrent`` submits their EAGER jobs
+        # (stage writes, stats/UDF-table checkpoints) from parallel driver
+        # threads so the Spark scheduler backfills idle task slots — the
+        # narrow phases of one tier overlap the wide phases of another.
+        # Resume guards unchanged: a tier's kernels are never even
+        # constructed when the stage consuming them is already on disk.
         mat = not self.fused
         pairs_done = self._done("pairs")
+        edges_done = self._done("edges")
+        span_needed = self.enable_span and not edges_done
         overflow_dfs: dict[str, DataFrame] = {}
-        all_pairs = None
-        if not pairs_done:
-            all_pairs = self._build_pair_union(turns, conv, sigs, mat, overflow_dfs)
-        pairs = self._materialize("pairs", all_pairs)
+        tier: dict[str, DataFrame] = {}
 
-        if self._done("edges"):
-            # same resume guard as above: the span tier's eager anchor
-            # checkpoint must not run when the edge set is already on disk
-            edges = self._materialize("edges", None)
-            return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
-
-        cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
-        if self.enable_span:
-            # Span tier runs LAST, against the already-accepted edge set:
-            # exact copies and near-dups share most anchors and would all
-            # become span candidates, but their LCS verification is pure
-            # waste — the cheaper tiers already accepted them. Anti-join
-            # keeps LCS (the most expensive verifier) for pairs only the
-            # span tier can see. Final edge SET is unchanged.
-            cheap_edges = cheap_edges.localCheckpoint()
-            span_cand, span_overflow = span_candidate_pairs(
-                conv, cfg, materialize=mat, input_materialized=True
+        def t_signatures():
+            sigs = self._materialize(
+                "signatures",
+                with_minhash(conv, cfg, repartition="auto").select("conv_id", "minhash"),
             )
-            overflow_dfs["span_overflow_anchors"] = span_overflow
-            new_cand = span_cand.join(
-                cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
-            )
-            span_edges = (
-                verify_span_pairs(new_cand, conv, cfg)
-                .drop("span_len")
-                .withColumn("similarity", F.lit(None).cast("double"))
-                .select("conv_a", "conv_b", "source", "similarity")
-            )
-            cheap_edges = cheap_edges.unionByName(span_edges)
+            tier["sigs"] = sigs
+            if not pairs_done:
+                # dedup=False: the strongest-source groupBy below is the
+                # single pair-dedup shuffle for every tier — a per-tier
+                # dropDuplicates would shuffle the same pair set twice
+                lsh_pairs, lsh_overflow = candidate_pairs(
+                    sigs, cfg, materialize=mat, dedup=False
+                )
+                tier["lsh"] = lsh_pairs
+                overflow_dfs["lsh_overflow_buckets"] = lsh_overflow
 
-        edges = self._materialize("edges", cheap_edges)
-        return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
-
-    def _build_pair_union(self, turns, conv, sigs, mat, overflow_dfs):
-        cfg = self.cfg
-        # dedup=False: the strongest-source groupBy below is the single
-        # pair-dedup shuffle for every tier — a per-tier dropDuplicates
-        # would shuffle the same pair set twice
-        lsh_pairs, lsh_overflow = candidate_pairs(
-            sigs, cfg, materialize=mat, dedup=False
-        )
-        overflow_dfs["lsh_overflow_buckets"] = lsh_overflow
-        pair_dfs = [exact_pairs(conv, cfg), lsh_pairs]
-        if self.enable_simhash:
+        def t_simhash():
             from dedup.assemble import turn_filters
 
             turns_f = turns
@@ -262,8 +248,71 @@ class DedupPipeline:
             sh_pairs, sh_overflow = simhash_conv_pairs(
                 sh, cfg, materialize=mat, return_overflow=True
             )
+            tier["simhash"] = sh_pairs
             overflow_dfs["simhash_overflow_buckets"] = sh_overflow
-            pair_dfs.append(sh_pairs)
+
+        def t_span():
+            # Span candidates are anchor joins only — the LCS verifier runs
+            # later, anti-joined against the already-accepted edge set, so
+            # building candidates early costs nothing extra
+            span_cand, span_overflow = span_candidate_pairs(
+                conv, cfg, materialize=mat, input_materialized=True
+            )
+            tier["span_cand"] = span_cand
+            overflow_dfs["span_overflow_anchors"] = span_overflow
+
+        tasks = [t_signatures]
+        if not pairs_done and self.enable_simhash:
+            tasks.append(t_simhash)
+        if span_needed:
+            tasks.append(t_span)
+        if self.concurrent and len(tasks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+                for f in [ex.submit(t) for t in tasks]:
+                    f.result()
+        else:
+            for t in tasks:
+                t()
+        sigs = tier["sigs"]
+
+        all_pairs = None
+        if not pairs_done:
+            pair_dfs = [exact_pairs(conv, cfg), tier["lsh"]]
+            if self.enable_simhash:
+                pair_dfs.append(tier["simhash"])
+            all_pairs = self._dedup_pair_union(pair_dfs)
+        pairs = self._materialize("pairs", all_pairs)
+
+        if edges_done:
+            edges = self._materialize("edges", None)
+            return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
+
+        cheap_edges = verify_pairs(pairs, sigs, cfg, conversations=conv)
+        if self.enable_span:
+            # Span tier verifies LAST, against the already-accepted edge
+            # set: exact copies and near-dups share most anchors and would
+            # all become span candidates, but their LCS verification is
+            # pure waste — the cheaper tiers already accepted them.
+            # Anti-join keeps LCS (the most expensive verifier) for pairs
+            # only the span tier can see. Final edge SET is unchanged.
+            cheap_edges = cheap_edges.localCheckpoint()
+            new_cand = tier["span_cand"].join(
+                cheap_edges.select("conv_a", "conv_b"), ["conv_a", "conv_b"], "left_anti"
+            )
+            span_edges = (
+                verify_span_pairs(new_cand, conv, cfg)
+                .drop("span_len")
+                .withColumn("similarity", F.lit(None).cast("double"))
+                .select("conv_a", "conv_b", "source", "similarity")
+            )
+            cheap_edges = cheap_edges.unionByName(span_edges)
+
+        edges = self._materialize("edges", cheap_edges)
+        return self._finish(edges, conv, metrics, overflow_dfs, _pre_ids)
+
+    def _dedup_pair_union(self, pair_dfs):
         all_pairs = pair_dfs[0]
         for p in pair_dfs[1:]:
             all_pairs = all_pairs.unionByName(p)
@@ -324,6 +373,7 @@ class DedupPipeline:
                 cfg.cc_max_iters,
                 log=self.log,
                 n_edges=None if n_edges is None or n_edges < 0 else n_edges,
+                input_deduped=True,  # edge stage is one row per pair
             )
             _before_clusters = persistent_rdd_ids(self.spark)
             clusters = self._materialize(
