@@ -107,6 +107,16 @@ def q_keep_policy(spark, sf_dir):
     return rep.select("conv_id", "cluster_id", "is_representative")
 
 
+def q_group_count(spark, sf_dir):
+    """A4: the printed-group counter (reference keeps a running count of
+    groups as it prints; here it is the count of distinct duplicate groups
+    the strict exact tier reports) — one row, one long."""
+    from dedup.exact import exact_clusters
+
+    clus = exact_clusters(_conversations(spark, sf_dir), DedupConfig(strict=True))
+    return clus.agg(F.countDistinct("dup_key").cast("long").alias("n_groups"))
+
+
 def q_min_size_filter(spark, sf_dir):
     """F1+H7: min-size predicate over assembled conversations, given as a
     byte-size literal so the driver path exercises the H7 parser
@@ -392,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dup_clusters": q_prefix_dup_clusters,
         "block_candidates": q_block_candidates,
         "keep_policy": q_keep_policy,
+        "group_count": q_group_count,
         "duplicate_report": q_duplicate_report,
         "min_size_filter": q_min_size_filter,
         "ingest_rejects": q_ingest_rejects,
@@ -725,6 +736,20 @@ def oracle_sql() -> dict[str, str]:
                     ELSE CAST(total_chars AS VARCHAR) || ' B' END AS size_h,
                strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS mtime_h
         FROM clus
+        """,
+        "group_count": _TC
+        + """
+        , blk AS (
+            SELECT n_turns, total_chars, count(*) AS blk_n
+            FROM conversations GROUP BY 1, 2
+        ),
+        grp AS (
+            SELECT c.n_turns, c.total_chars, md5(doc) AS h, count(*) AS grp_n
+            FROM conversations c JOIN blk USING (n_turns, total_chars)
+            WHERE blk.blk_n > 1
+            GROUP BY 1, 2, 3
+        )
+        SELECT cast(count(*) AS bigint) AS n_groups FROM grp WHERE grp_n > 1
         """,
         "min_size_filter": _TC
         + "SELECT conv_id, total_chars FROM conversations WHERE total_chars >= 300",

@@ -52,36 +52,42 @@ def bucketed_pairs(
     cap: int,
     materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """STATS-FIRST candidate pairing, shared by the LSH and SimHash tiers.
+    """COUNT-FIRST candidate pairing, shared by the LSH and SimHash tiers.
 
-    Pass 1 aggregates only (count, min, max) per bucket — a fully
-    whole-stage-codegen HashAggregate over skinny rows, with map-side
-    partial combine. In a banded corpus the vast majority of buckets are
-    singletons; they die in pass 1 without ever building an array (the
-    previous formulation ran ObjectHashAggregate ``collect_list`` over
-    EVERY banded row, materializing ~25M single-element arrays per 26M rows
-    just to filter them — measured flat 1.14× scaling at 4×-cores from its
-    sort-based fallback spills).
+    Pass 1 aggregates ONLY the bucket count — a whole-stage-codegen
+    HashAggregate whose exchange carries nothing but the bucket key and a
+    partial count. In a banded corpus the vast majority of buckets are
+    singletons, so partial combine barely reduces rows — which means
+    whatever is in the aggregation's projection moves through the shuffle
+    nearly once per banded row. The r03 formulation aggregated (count,
+    min(m), max(m)) in one pass and therefore shuffled every member struct
+    TWICE (partial min + partial max) for buckets that were about to die;
+    at 26M banded rows that is the difference between a ~150 MB and a
+    ~400 MB exchange, and shuffle bytes are exactly the resource that does
+    NOT scale with added cores on a shared memory bus (measured: the pair
+    phases scale at ~2.0× at 4×-cores vs the 3.7× cpu ceiling — they track
+    the bus). Member structs now move only for DUPLICATE buckets: pass 2
+    joins the banded rows against the surviving bucket list (AQE broadcasts
+    it when small, skew-splits when not) and computes (count, min, max)
+    over that small subset.
 
-    Routing by bucket size s:
+    Routing by bucket size s (unchanged — results identical):
     - s == 2 (the dominant duplicate shape): the pair is (min, max)
       directly from the stats row — zero arrays, zero extra shuffle;
-    - 2 < s ≤ cap: the banded rows are joined back to just these buckets
-      (AQE broadcasts the bucket list when small) and only THEY reach the
-      sorted-array posexplode pairing — aggregation memory is bounded by
-      ``cap`` members per array, never by the corpus's largest template;
-    - s > cap: O(s) STAR edges (bucket-min anchor ↔ member) emitted from
-      the same join with NO array at all, plus a row in the overflow
-      metric — mega-buckets are never silently dropped and never
-      materialize a multi-GB aggregation row.
+    - 2 < s ≤ cap: membership join + sorted-array posexplode pairing —
+      aggregation memory bounded by ``cap``, never the largest template;
+    - s > cap: O(s) STAR edges (bucket-min anchor ↔ member) with NO array,
+      plus an overflow-metric row — mega-buckets are never silently
+      dropped and never materialize a multi-GB aggregation row.
 
-    The ``stats`` table (duplicate buckets only — tiny) is ALWAYS
-    checkpointed: three subtrees consume it (s==2 pairs, the s>2 membership
-    join, the overflow metric) and exchange reuse does not span them.
-    ``materialize=True`` additionally checkpoints the banded rows, for
-    callers whose row source is not already materialized — the membership
-    join re-reads them, and without a cut their upstream (a signature UDF,
-    a parquet scan) would run once per consumer.
+    The ``counts`` and ``stats`` tables (duplicate buckets only — tiny)
+    are ALWAYS checkpointed: several subtrees consume them (pass-2 join,
+    s==2 pairs, the s>2 membership join, the overflow metric) and exchange
+    reuse does not span them. ``materialize=True`` additionally checkpoints
+    the banded rows, for callers whose row source is not already
+    materialized — pass 2 and the membership join re-read them, and
+    without a cut their upstream (a signature UDF, a parquet scan) would
+    run once per consumer.
 
     Returns (pairs(a: struct, b: struct), overflow(bucket_cols, bucket_n)),
     with a < b in member-struct order (first member column ascending).
@@ -90,14 +96,19 @@ def bucketed_pairs(
     keyed = rows.select(*bucket_cols, m.alias("m"))
     if materialize:
         keyed = keyed.localCheckpoint()
-    stats = (
+    counts = (
         keyed.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
+    ).localCheckpoint()
+    stats = (
+        keyed.join(counts.select(*bucket_cols), list(bucket_cols))
+        .groupBy(*bucket_cols)
         .agg(
             F.count(F.lit(1)).alias("s"),
             F.min("m").alias("m0"),
             F.max("m").alias("m1"),
         )
-        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
     ).localCheckpoint()
     return route_bucket_pairs(keyed, stats, bucket_cols, cap)
 
@@ -108,8 +119,8 @@ def route_bucket_pairs(
     """Size-routed pair emission from precomputed bucket stats (see
     ``bucketed_pairs``, which builds the stats; callers that already have a
     per-bucket (s, m0, m1) aggregation — e.g. the SimHash exact-fingerprint
-    path, which reuses ONE groupBy for both its distinct-fingerprint list
-    and its duplicate groups — call this directly and skip the extra
+    path, which shares its count-first split with the banding paths — call
+    this directly and skip the extra
     shuffle). ``keyed`` = (bucket_cols..., m: struct); ``stats`` =
     (bucket_cols..., s, m0, m1) with s > 1, and should be materialized (its
     three consumers get no exchange reuse)."""

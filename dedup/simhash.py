@@ -347,34 +347,42 @@ def simhash_turn_pairs(
             )
         )
 
-    # ONE groupBy(simhash) feeds both path 1 (duplicate fingerprint groups)
-    # and path 2 (the distinct-fingerprint list + its count): fp_stats has
-    # exactly one row per distinct fingerprint
+    # COUNT-ONLY pass over the turn table feeds path 1 (duplicate
+    # fingerprint groups), path 2 (the distinct-fingerprint list + its
+    # count), and the block picker. The exchange carries (simhash, partial
+    # count) — never the (conv_id, turn_idx) member struct, which for the
+    # mostly-singleton fingerprints would otherwise move through the
+    # shuffle twice (partial min + partial max) just to be discarded; the
+    # members of DUPLICATE fingerprints are fetched in a second, far
+    # smaller aggregation (same count-first split as lsh.bucketed_pairs).
     m0 = F.struct("conv_id", "turn_idx")
-    fp_stats = (
-        t.groupBy("simhash")
+    fp_counts = (
+        t.groupBy("simhash").agg(F.count(F.lit(1)).alias("s")).localCheckpoint()
+    )
+    dup_fps = fp_counts.where(F.col("s") > 1).select("simhash")
+    keyed0 = t.select("simhash", m0.alias("m"))
+    stats0 = (
+        keyed0.join(dup_fps, "simhash")
+        .groupBy("simhash")
         .agg(
             F.count(F.lit(1)).alias("s"),
-            F.min(m0).alias("m0"),
-            F.max(m0).alias("m1"),
+            F.min("m").alias("m0"),
+            F.max("m").alias("m1"),
         )
         .localCheckpoint()
     )
 
     # (1) exact fingerprint groups — no banding, one row per turn
     raw0, ov0 = route_bucket_pairs(
-        t.select("simhash", m0.alias("m")),
-        fp_stats.where(F.col("s") > 1),
-        ["simhash"],
-        cfg.band_bucket_cap,
+        keyed0, stats0, ["simhash"], cfg.band_bucket_cap
     )
     pairs0 = _turn_pairs(raw0, F.lit(0).cast("int"))
 
     # (2) near pairs over DISTINCT fingerprints
-    fps = fp_stats.select("simhash")
+    fps = fp_counts.select("simhash")
     nb = cfg.simhash_blocks
     if nb is None:
-        n_fp = fp_stats.count()  # count of the checkpointed stats — free-ish
+        n_fp = fp_counts.count()  # count of the checkpointed table — free-ish
         nb = pick_simhash_blocks(max(n_fp, 1), cfg.simhash_bits, k)
     banded = fps.select(
         "simhash", F.explode(F.array(*_band_structs(cfg, nb))).alias("c")
