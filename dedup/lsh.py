@@ -92,10 +92,26 @@ def bucketed_pairs(
     Returns (pairs(a: struct, b: struct), overflow(bucket_cols, bucket_n)),
     with a < b in member-struct order (first member column ascending).
     """
+    import os
+
     m = F.struct(*[F.col(c) for c in member_cols])
     keyed = rows.select(*bucket_cols, m.alias("m"))
     if materialize:
         keyed = keyed.localCheckpoint()
+    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "counts") == "stats":
+        # one-pass variant (r03): single wide aggregation; cheaper per JOB
+        # but shuffles every member struct twice — kept selectable so the
+        # two kernels can be A/B'd in one session at any scale
+        stats = (
+            keyed.groupBy(*bucket_cols)
+            .agg(
+                F.count(F.lit(1)).alias("s"),
+                F.min("m").alias("m0"),
+                F.max("m").alias("m1"),
+            )
+            .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
+        ).localCheckpoint()
+        return route_bucket_pairs(keyed, stats, bucket_cols, cap)
     counts = (
         keyed.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("s"))

@@ -355,22 +355,37 @@ def simhash_turn_pairs(
     # shuffle twice (partial min + partial max) just to be discarded; the
     # members of DUPLICATE fingerprints are fetched in a second, far
     # smaller aggregation (same count-first split as lsh.bucketed_pairs).
+    import os
+
     m0 = F.struct("conv_id", "turn_idx")
-    fp_counts = (
-        t.groupBy("simhash").agg(F.count(F.lit(1)).alias("s")).localCheckpoint()
-    )
-    dup_fps = fp_counts.where(F.col("s") > 1).select("simhash")
     keyed0 = t.select("simhash", m0.alias("m"))
-    stats0 = (
-        keyed0.join(dup_fps, "simhash")
-        .groupBy("simhash")
-        .agg(
-            F.count(F.lit(1)).alias("s"),
-            F.min("m").alias("m0"),
-            F.max("m").alias("m1"),
+    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "counts") == "stats":
+        # one-pass variant (r03), selectable for same-session A/Bs
+        fp_counts = (
+            t.groupBy("simhash")
+            .agg(
+                F.count(F.lit(1)).alias("s"),
+                F.min(m0).alias("m0"),
+                F.max(m0).alias("m1"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
+        stats0 = fp_counts.where(F.col("s") > 1)
+    else:
+        fp_counts = (
+            t.groupBy("simhash").agg(F.count(F.lit(1)).alias("s")).localCheckpoint()
+        )
+        dup_fps = fp_counts.where(F.col("s") > 1).select("simhash")
+        stats0 = (
+            keyed0.join(dup_fps, "simhash")
+            .groupBy("simhash")
+            .agg(
+                F.count(F.lit(1)).alias("s"),
+                F.min("m").alias("m0"),
+                F.max("m").alias("m1"),
+            )
+            .localCheckpoint()
+        )
 
     # (1) exact fingerprint groups — no banding, one row per turn
     raw0, ov0 = route_bucket_pairs(
@@ -401,10 +416,17 @@ def simhash_turn_pairs(
     )
 
     # (3) expand fp pairs to turn pairs through the capped kernel: bucket =
-    # the fp pair, members = the turns carrying either fingerprint
+    # the fp pair, members = the turns carrying either fingerprint.
+    # ``sides`` is CHECKPOINTED: it is tiny (two rows per true near-dup fp
+    # pair) but its lineage contains the whole path-2 banding + dedup
+    # shuffle — the expansion join below is consumed by several eager
+    # passes (counts, stats, membership), and without a cut each pass
+    # would re-run path 2 from scratch (no exchange reuse across actions)
     sides = fp_pairs.select(
         F.col("fa").alias("simhash"), "fa", "fb", "fham"
-    ).unionByName(fp_pairs.select(F.col("fb").alias("simhash"), "fa", "fb", "fham"))
+    ).unionByName(
+        fp_pairs.select(F.col("fb").alias("simhash"), "fa", "fb", "fham")
+    ).localCheckpoint()
     exp_rows = t.join(sides, "simhash")  # sides is small → AQE broadcast
     raw1, ov1 = bucketed_pairs(
         exp_rows, ["fa", "fb", "fham"], ["conv_id", "turn_idx", "simhash"],

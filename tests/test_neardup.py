@@ -140,3 +140,33 @@ def test_bucketed_pairs_array_agg_is_cap_bounded(spark):
         assert any(
             re.search(r"<= 5\)?", l) for l in subtree
         ), "collect_list aggregate not gated by the cap filter:\n" + plan
+
+
+def test_pair_kernel_variants_identical(spark, turns_df, monkeypatch):
+    """The count-first (default) and one-pass stats pair kernels must emit
+    identical pair sets — the env knob exists for same-session A/Bs only."""
+    from dedup.assemble import assemble_conversations
+    from dedup.config import DedupConfig
+    from dedup.lsh import candidate_pairs
+    from dedup.minhash import with_minhash
+    from dedup.simhash import simhash_turn_pairs, with_turn_simhash
+
+    conv = assemble_conversations(turns_df).localCheckpoint()
+    sigs = with_minhash(conv).select("conv_id", "minhash").localCheckpoint()
+    sh = (
+        with_turn_simhash(turns_df.join(conv.select("conv_id"), "conv_id", "left_semi"))
+        .select("conv_id", "turn_idx", "simhash")
+        .localCheckpoint()
+    )
+    out = {}
+    for kern in ("counts", "stats"):
+        monkeypatch.setenv("SPARK_GRAFT_PAIRS_KERNEL", kern)
+        lp, _ = candidate_pairs(sigs, DedupConfig())
+        tp, _ = simhash_turn_pairs(sh, DedupConfig())
+        out[kern] = (
+            {(r.conv_a, r.conv_b) for r in lp.collect()},
+            {(r.conv_a, r.turn_a, r.conv_b, r.turn_b, r.hamming) for r in tp.collect()},
+        )
+    assert out["counts"][0] == out["stats"][0]
+    assert out["counts"][1] == out["stats"][1]
+    assert out["counts"][0] and out["counts"][1]
