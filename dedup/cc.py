@@ -42,6 +42,7 @@ def connected_components(
     log=None,
     n_edges: int | None = None,
     input_deduped: bool = False,
+    loop_conf: bool = True,
 ) -> DataFrame:
     """edges(conv_a, conv_b) → labels(conv_id, cluster_id).
 
@@ -51,6 +52,11 @@ def connected_components(
     ``input_deduped``: the caller guarantees one row per undirected pair
     (the pipeline's edge stage is unique by construction), skipping the
     defensive dropDuplicates shuffle and the pre-count checkpoint.
+    ``loop_conf``: pin session confs for the label loop (AQE off, shuffle
+    width = loop width, both restored on return): at label-table sizes the
+    per-round cost is driver latency, and AQE's per-stage re-planning plus
+    32-wide near-empty exchanges ARE that latency. The loop runs alone in
+    the pipeline, so the session-conf mutation cannot race another job.
     """
     from dedup.util import persistent_rdd_ids, unpersist_ids
 
@@ -71,6 +77,26 @@ def connected_components(
             pinned.append(edges)
         n_edges = edges.count()
     cc_parts = cc_loop_width(n_edges, spark.sparkContext.defaultParallelism)
+
+    _saved_conf = {}
+    if loop_conf:
+        for key, val in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", str(cc_parts)),
+        ):
+            _saved_conf[key] = spark.conf.get(key)
+            spark.conf.set(key, val)
+    try:
+        return _cc_loop(
+            spark, edges, cc_parts, max_iters, log, pinned, _pre_ids
+        )
+    finally:
+        for key, val in _saved_conf.items():
+            spark.conf.set(key, val)
+
+
+def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids):
+    from dedup.util import persistent_rdd_ids, unpersist_ids
 
     # symmetric adjacency: one DataFrame, both directions
     sym = (
