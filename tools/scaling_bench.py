@@ -210,11 +210,13 @@ round, never assumed:
    parallel cache-resident code cannot reach 4×.
 4. MEMORY-BANDWIDTH ceiling: the same arithmetic over a 64 MiB working
    set measures what the shared memory bus gives N vs 4N streaming
-   workers (at this pairing the 4N level leaves bus headroom by design,
-   so this ceiling is closer to 4× than 4v16's 1.4-2.2×). A real
-   N→4N-EXECUTOR cluster multiplies memory buses, NICs and disks along
-   with the cores — the regime the gate describes — while this proxy
-   multiplies only hardware threads.
+   workers. The pairing was chosen hoping the 4N level leaves bus
+   headroom; the per-round bw column below is the MEASURED truth of that
+   hypothesis for each round — read it before trusting any raw ratio
+   (r04 observed days where 4× the workers got ~1.0× the bandwidth). A
+   real N→4N-EXECUTOR cluster multiplies memory buses, NICs and disks
+   along with the cores — the regime the gate describes — while this
+   proxy multiplies only hardware threads.
 
 | round | local[{n_hi}] wall (s) | local[{n_lo}] wall (s) | 1p spins (pre/mid/post) | cpu ceiling (×) | bw ceiling (×) | eff vs 4× | eff corr | eff vs cpu | eff vs bw |
 |---|---|---|---|---|---|---|---|---|---|
