@@ -102,7 +102,7 @@ def q_keep_policy(spark, sf_dir):
 
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
     rep = select_representatives(cc, conv, policy="first_id")
     return rep.select("conv_id", "cluster_id", "is_representative")
 
@@ -171,7 +171,7 @@ def q_delete_rewrite(spark, sf_dir):
     turns = derive_transcripts(spark, sf_dir)
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
     rep = select_representatives(cc, conv, policy="first_id")
     kept = apply_delete_rewrite(turns, losers(rep))
     return kept.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
@@ -187,7 +187,7 @@ def q_duplicate_report(spark, sf_dir):
 
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"))
+    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
     rep = select_representatives(cc, conv, policy="first_id")
     return formatted_report(rep, conv)
 
@@ -395,6 +395,63 @@ def q_media_dedup(spark, sf_dir):
     return media_exact_dups(decode_media(media))
 
 
+#: fixed run_dir for the lineage/resume queries — the oracle SQL is a static
+#: string, so the path cannot depend on sf_dir; the query wipes + rebuilds it
+_LINEAGE_RUN_DIR = "/tmp/dedup_lineage_run"
+_lineage_memo: dict[str, list[dict]] = {}
+
+
+def _lineage_double_run(spark, sf_dir) -> list[dict]:
+    """Execute the pipeline twice into ``_LINEAGE_RUN_DIR`` (fresh, then
+    resumed — operator F2/N11: every stage of run 2 loads its _SUCCESS
+    checkpoint instead of recomputing) and return run 2's in-memory lineage.
+    Memoized per (process, sf_dir): both lineage queries share one run."""
+    import shutil
+
+    from dedup.pipeline import DedupPipeline
+
+    if sf_dir in _lineage_memo:
+        return _lineage_memo[sf_dir]
+    shutil.rmtree(_LINEAGE_RUN_DIR, ignore_errors=True)
+    cfg = DedupConfig(min_span_len=150)
+    turns = derive_transcripts(spark, sf_dir)
+    DedupPipeline(spark, cfg, run_dir=_LINEAGE_RUN_DIR).run(turns)
+    r2 = DedupPipeline(spark, cfg, run_dir=_LINEAGE_RUN_DIR).run(turns)
+    _lineage_memo.clear()  # one sf at a time: the run_dir is shared
+    _lineage_memo[sf_dir] = [
+        {"stage": s.name, "rows": s.rows, "resumed": s.resumed} for s in r2.stages
+    ]
+    return _lineage_memo[sf_dir]
+
+
+def q_pipeline_lineage(spark, sf_dir):
+    """N11: the persisted per-stage lineage table (lineage.jsonl) of a
+    fresh-then-resumed run pair — both runs' rows, read back through Spark
+    exactly as a monitoring job would; the oracle reads the same table via
+    DuckDB's JSON reader, pinning that the pipeline's lineage is a real,
+    engine-neutral table (reference analog: the per-record FileState
+    markers, /root/reference/src/fileinfo.rs:12-16)."""
+    import os as _os
+
+    _lineage_double_run(spark, sf_dir)
+    return (
+        spark.read.json(_os.path.join(_LINEAGE_RUN_DIR, "lineage.jsonl"))
+        .select("stage", "rows", "resumed")
+    )
+
+
+def q_pipeline_resume(spark, sf_dir):
+    """F2: resume skips already-processed stages — run 2's IN-MEMORY lineage
+    (what the PipelineResult reports) must say every stage was resumed with
+    the row count run 1 persisted; the oracle cross-checks it against the
+    on-disk lineage by joining run-2 rows to run-1 rows on (stage, rows)."""
+    rows = _lineage_double_run(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r["stage"], r["rows"], r["resumed"]) for r in rows],
+        "stage string, rows long, resumed boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "assemble": q_assemble,
@@ -422,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "media_dedup": q_media_dedup,
+        "pipeline_lineage": q_pipeline_lineage,
+        "pipeline_resume": q_pipeline_resume,
     }
 
 
@@ -882,4 +941,25 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "doc_fingerprints": _doc_fingerprints_oracle(),
         "media_dedup": MEDIA_DUPS_SQL,
+        # lineage/resume (F2 + N11): both oracles read the lineage table the
+        # pipeline PERSISTED during the query's fresh-then-resumed run pair
+        # (the spark query executes first and writes it — same order as
+        # tools/check_contract.py, the driver mimic).
+        "pipeline_lineage": f"""
+        SELECT stage, "rows", resumed
+        FROM read_json_auto('{_LINEAGE_RUN_DIR}/lineage.jsonl')
+        """,
+        # run-2 rows must join run-1 rows on (stage, rows): a resumed stage
+        # reporting a different row count than the fresh run would drop out
+        # of the join and fail the driver's row-count compare
+        "pipeline_resume": f"""
+        WITH l AS (
+            SELECT stage, "rows", resumed
+            FROM read_json_auto('{_LINEAGE_RUN_DIR}/lineage.jsonl')
+        )
+        SELECT r2.stage AS stage, r2."rows" AS "rows", r2.resumed AS resumed
+        FROM (SELECT * FROM l WHERE resumed) r2
+        JOIN (SELECT * FROM l WHERE NOT resumed) r1
+          ON r2.stage = r1.stage AND r2."rows" = r1."rows"
+        """,
     }

@@ -42,7 +42,8 @@ def connected_components(
     log=None,
     n_edges: int | None = None,
     input_deduped: bool = False,
-    loop_conf: bool = True,
+    loop_conf: bool = False,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """edges(conv_a, conv_b) → labels(conv_id, cluster_id).
 
@@ -55,8 +56,16 @@ def connected_components(
     ``loop_conf``: pin session confs for the label loop (AQE off, shuffle
     width = loop width, both restored on return): at label-table sizes the
     per-round cost is driver latency, and AQE's per-stage re-planning plus
-    32-wide near-empty exchanges ARE that latency. The loop runs alone in
-    the pipeline, so the session-conf mutation cannot race another job.
+    32-wide near-empty exchanges ARE that latency. Session confs are
+    PROCESS-GLOBAL, so this defaults to False (r04 advisor: a library
+    caller planning a query from another driver thread would silently get
+    AQE off and a 2-partition shuffle width); the pipeline — where CC runs
+    alone, after the concurrent tier threads have joined — opts in
+    explicitly.
+    ``metrics_out``: optional dict the loop fills with its bound runtime
+    knobs (``cc_loop_width``, ``cc_edges``, ``cc_rounds``) — the caps-audit
+    contract (VERDICT r04 #7): every width/cap that binds is reported, so a
+    100× run is auditable from its metrics JSON alone.
     """
     from dedup.util import persistent_rdd_ids, unpersist_ids
 
@@ -77,6 +86,9 @@ def connected_components(
             pinned.append(edges)
         n_edges = edges.count()
     cc_parts = cc_loop_width(n_edges, spark.sparkContext.defaultParallelism)
+    if metrics_out is not None:
+        metrics_out["cc_loop_width"] = cc_parts
+        metrics_out["cc_edges"] = n_edges
 
     _saved_conf = {}
     if loop_conf:
@@ -88,14 +100,14 @@ def connected_components(
             spark.conf.set(key, val)
     try:
         return _cc_loop(
-            spark, edges, cc_parts, max_iters, log, pinned, _pre_ids
+            spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out
         )
     finally:
         for key, val in _saved_conf.items():
             spark.conf.set(key, val)
 
 
-def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids):
+def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out=None):
     from dedup.util import persistent_rdd_ids, unpersist_ids
 
     # symmetric adjacency: one DataFrame, both directions
@@ -176,6 +188,8 @@ def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids):
         if log:
             log(f"cc round {it} (2 hops): {changed} labels changed")
         if changed == 0:
+            if metrics_out is not None:
+                metrics_out["cc_rounds"] = it + 1
             break
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")

@@ -13,15 +13,39 @@ sandbox-portable equivalent implemented here is the anti-join rewrite
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: policy name → orderBy columns (all deterministic, conv_id tie-break)
+
+def _nflag(col: "F.Column") -> "F.Column":
+    """0 for non-null, 1 for null — leading struct field that reproduces the
+    NULLS LAST placement of the policy orderings under min(struct)."""
+    return F.isnull(col).cast("int")
+
+
+#: policy name → total-order key struct (min == the representative).
+#: Every field is non-null (flags + coalesced keys) so struct MIN/equality
+#: are never null-ambiguous, and conv_id makes the key unique per row.
 POLICIES = {
-    "oldest": lambda: [F.col("first_ts").asc_nulls_last(), F.col("conv_id").asc()],
-    "newest": lambda: [F.col("first_ts").desc_nulls_last(), F.col("conv_id").asc()],
-    "longest": lambda: [F.col("total_chars").desc(), F.col("conv_id").asc()],
-    "first_id": lambda: [F.col("conv_id").asc()],
+    # oldest first_ts, NULLS LAST, conv_id tie-break
+    "oldest": lambda: F.struct(
+        _nflag(F.col("first_ts")).alias("n"),
+        F.coalesce(F.unix_micros("first_ts"), F.lit(0)).alias("k"),
+        F.col("conv_id").alias("id"),
+    ),
+    # newest first_ts, NULLS LAST (descending via negated epoch micros)
+    "newest": lambda: F.struct(
+        _nflag(F.col("first_ts")).alias("n"),
+        F.coalesce(-F.unix_micros("first_ts"), F.lit(0)).alias("k"),
+        F.col("conv_id").alias("id"),
+    ),
+    # longest doc, NULLS LAST (Spark desc default), conv_id tie-break
+    "longest": lambda: F.struct(
+        _nflag(F.col("total_chars")).alias("n"),
+        (-F.coalesce(F.col("total_chars"), F.lit(0))).alias("k"),
+        F.col("conv_id").alias("id"),
+    ),
+    "first_id": lambda: F.struct(F.col("conv_id").alias("id")),
 }
 
 
@@ -30,18 +54,29 @@ def select_representatives(
 ) -> DataFrame:
     """clusters(conv_id, cluster_id) × conversations → + is_representative.
 
-    Representative = row_number 1 under the policy order within the cluster
-    (FIXTURES.md ``keep_policy``: oldest first_ts, tie-broken by conv_id).
+    Representative = the member with the MINIMUM policy-order key struct in
+    its cluster (FIXTURES.md ``keep_policy``: oldest first_ts, tie-broken by
+    conv_id — the key struct encodes exactly that ordering, so output rows
+    are identical to the former row_number-over-window formulation).
+
+    Shape: groupBy(cluster_id).min(key) joined back — NOT a window. Exact
+    dedup produces mega-clusters by construction (a 10^7-copy boilerplate
+    template is ONE cluster), and a window over cluster_id lands each
+    cluster in a single unsplittable task; the groupBy gets map-side partial
+    aggregation and the join back is AQE-skew-splittable (the same recipe as
+    the A5 per-group width fix in formatted_report).
     """
     if policy not in POLICIES:
         raise ValueError(f"unknown keep policy {policy!r}; one of {sorted(POLICIES)}")
     meta = conversations.select("conv_id", "first_ts", "total_chars")
-    w = Window.partitionBy("cluster_id").orderBy(*POLICIES[policy]())
+    keyed = clusters.join(meta, "conv_id", "left").withColumn(
+        "_ord", POLICIES[policy]()
+    )
+    best = keyed.groupBy("cluster_id").agg(F.min("_ord").alias("_best"))
     return (
-        clusters.join(meta, "conv_id", "left")
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("is_representative", F.col("_rn") == 1)
-        .drop("_rn")
+        keyed.join(best, "cluster_id")
+        .withColumn("is_representative", F.col("_ord") == F.col("_best"))
+        .select("conv_id", "cluster_id", "first_ts", "total_chars", "is_representative")
     )
 
 

@@ -200,9 +200,17 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
     w = h = None
     us_per_frame = 0
     frames = []
+    # stream bookkeeping (r04 advisor): strf's meaning depends on the
+    # enclosing strl's strh fccType — a 'vids' strf is a BITMAPINFOHEADER,
+    # an 'auds' strf is a WAVEFORMATEX. Validating every strf as a bitmap
+    # header mis-rejected legitimate video+audio files. Only the FIRST
+    # 'vids' stream's strf is validated, and frame chunks are matched to
+    # that stream's index ('01db' when audio is stream 0).
+    stream_idx = -1
+    vids_idx = None
 
     def walk(buf: bytes) -> None:
-        nonlocal w, h, us_per_frame
+        nonlocal w, h, us_per_frame, stream_idx, vids_idx
         pos = 0
         while pos + 8 <= len(buf):
             tag = buf[pos : pos + 4]
@@ -214,7 +222,11 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
             elif tag == b"avih":
                 vals = struct.unpack("<10I", body[:40])
                 us_per_frame, w, h = vals[0], vals[8], vals[9]
-            elif tag == b"strf":
+            elif tag == b"strh":
+                stream_idx += 1
+                if body[:4] == b"vids" and vids_idx is None:
+                    vids_idx = stream_idx
+            elif tag == b"strf" and vids_idx is not None and stream_idx == vids_idx:
                 size, bw, bh, _planes, bits, compression = struct.unpack(
                     "<IiiHHI", body[:20]
                 )
@@ -224,7 +236,13 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
                         f"bits={bits}); only uncompressed BI_RGB 24-bit is "
                         "decodable without ffmpeg — transcode upstream"
                     )
-            elif tag in (b"00db", b"00dc"):
+            elif (
+                len(tag) == 4
+                and tag[2:4] in (b"db", b"dc")
+                and tag[:2].isdigit()
+                and vids_idx is not None
+                and int(tag[:2]) == vids_idx
+            ):
                 frames.append(body)
 
     walk(data[12:])

@@ -104,6 +104,7 @@ class DedupPipeline:
         self.tier_metrics = tier_metrics
         self.concurrent = concurrent
         self._lineage: list[dict] = []
+        self._shuffle_snap: dict = {}
 
     # ---- checkpoint plumbing -------------------------------------------
 
@@ -147,6 +148,8 @@ class DedupPipeline:
         return out
 
     def _record(self, stage: str, rows: int, seconds: float, resumed: bool):
+        from dedup.util import shuffle_delta, shuffle_totals
+
         self._section_t0 = time.monotonic()  # next stage's section starts now
         entry = {
             "stage": stage,
@@ -155,6 +158,17 @@ class DedupPipeline:
             "resumed": resumed,
             "n_partitions": self.spark.conf.get("spark.sql.shuffle.partitions"),
         }
+        # Per-SECTION shuffle/IO byte deltas from the app status store
+        # (VERDICT r04 #2: bytes are host-noise-immune where walls are not).
+        # Same attribution rule as the walls: deltas follow stage COMPLETION
+        # order, so with concurrent tier threads a section's bytes include
+        # whatever other tiers' jobs finished during it — exact per-run
+        # totals, approximate per-stage split (exact when concurrent=False).
+        snap = shuffle_totals(self.spark)
+        if snap and self._shuffle_snap:
+            entry["shuffle"] = shuffle_delta(self._shuffle_snap, snap)
+        if snap:
+            self._shuffle_snap = snap
         self._lineage.append(entry)
         self.log(f"stage {stage}: rows={rows} sec={seconds:.2f} resumed={resumed}")
         if self.run_dir:
@@ -170,6 +184,9 @@ class DedupPipeline:
         cfg = self.cfg
         metrics: dict = {}
         self._section_t0 = time.monotonic()
+        from dedup.util import shuffle_totals
+
+        self._shuffle_snap = shuffle_totals(self.spark)
         _pre_ids = persistent_rdd_ids(self.spark)
 
         # S8 ingest-reject accounting rides the assemble action via observe()
@@ -374,6 +391,10 @@ class DedupPipeline:
                 log=self.log,
                 n_edges=None if n_edges is None or n_edges < 0 else n_edges,
                 input_deduped=True,  # edge stage is one row per pair
+                # safe here: CC runs alone (tier threads joined long ago),
+                # so pinning process-global session confs cannot race
+                loop_conf=True,
+                metrics_out=metrics,  # cc_loop_width / cc_edges / cc_rounds
             )
             _before_clusters = persistent_rdd_ids(self.spark)
             clusters = self._materialize(
@@ -391,7 +412,21 @@ class DedupPipeline:
             freed = unpersist_ids(self.spark, scratch)
             self.log(f"freed {freed} scratch checkpoint RDDs")
 
+        # Caps audit (VERDICT r04 #7): every configured cap/width that can
+        # bind during a run is named in the metrics output next to the
+        # overflow counters it governs, so a 100× corpus run is auditable
+        # from its JSON alone (which caps were in force, which ones bound).
+        metrics["caps"] = {
+            "band_bucket_cap": cfg.band_bucket_cap,
+            "span_doc_cap": cfg.span_doc_cap,
+            "span_anchor_mod": cfg.span_anchor_mod,
+            "min_span_len": cfg.min_span_len,
+            "cc_max_iters": cfg.cc_max_iters,
+        }
         metrics["stages"] = self._lineage
+        if self.run_dir:
+            with open(os.path.join(self.run_dir, "metrics.json"), "w") as f:
+                json.dump(metrics, f, default=str, indent=1)
         return PipelineResult(clusters=clusters, stages=[
             StageResult(e["stage"], e["rows"], e["seconds"], e["resumed"]) for e in self._lineage
         ], metrics=metrics)

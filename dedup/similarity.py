@@ -229,25 +229,19 @@ def kmeans_codebook_parquet(
     centroid literals — no cross-engine floating-point aggregation-order
     divergence. Returns plain Python float lists (exact doubles).
 
-    The read is BOUNDED: ``ParquetFile.iter_batches`` streams row-group
-    batches and stops as soon as ``sample_n`` rows are in hand, so driver
-    memory is O(sample_n · dim) regardless of table size — a 100 TB
-    embeddings table never materializes driver-side. The sample is the
-    FIRST ``sample_n`` rows in the parquet's physical order, then id-sorted
-    for determinism; the driver-testdata embeddings are id-ordered on disk,
-    so this equals the previous (unbounded) head-after-full-sort sample and
-    the oracle's literal centroids are unchanged."""
-    import pyarrow.parquet as pq
+    The read is BOUNDED and ORDER-INDEPENDENT (r04 advisor + VERDICT #3):
+    ``path`` may be a single parquet file or a DIRECTORY of part files
+    (dedup.sampling goes through pyarrow.dataset either way), and the
+    sample is the ``sample_n`` SMALLEST ids over the whole table — pass 1
+    streams only the id column keeping a bounded smallest-n set, pass 2
+    fetches the vectors under the pushed-down ``id <= threshold`` filter —
+    so driver memory is O(sample_n · dim) regardless of table size or
+    physical row order, and the codebook is identical for any shuffling or
+    re-partitioning of the same rows. On the id-ordered driver testdata
+    this equals both prior contracts, so oracle centroids are unchanged."""
+    from dedup.sampling import smallest_id_sample
 
-    pf = pq.ParquetFile(path)
-    chunks, have = [], 0
-    for batch in pf.iter_batches(columns=[id_col, vec_col], batch_size=max(sample_n, 64)):
-        chunks.append(batch.to_pandas())
-        have += batch.num_rows
-        if have >= sample_n:
-            break
-    pf.close()
-    pdf = pd.concat(chunks, ignore_index=True).sort_values(id_col).head(sample_n)
+    pdf = smallest_id_sample(path, id_col, [id_col, vec_col], sample_n)
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return [[float(v) for v in row] for row in kmeans_refine(X, n_centroids, iters)]
 

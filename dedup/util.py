@@ -39,6 +39,50 @@ def free_all_scratch(spark: SparkSession) -> int:
     return unpersist_ids(spark, persistent_rdd_ids(spark))
 
 
+def shuffle_totals(spark: SparkSession) -> dict[str, int]:
+    """Cumulative per-application shuffle/IO byte counters from Spark's
+    AppStatusStore (the store behind the UI — populated even with
+    spark.ui.enabled=false, zero polling overhead).
+
+    VERDICT r04 #2: wall times on this shared-hypervisor host swing 3×
+    between identical runs, so kernel/plan decisions must cite recorded
+    BYTES — host-noise-immune — not contested walls. Callers snapshot
+    before/after a section and diff.
+
+    Returns {"shuffle_write_bytes", "shuffle_read_bytes", "input_bytes",
+    "output_bytes", "n_stages"}; {} if the store API is unavailable (the
+    py4j call reaches a private Scala method with default args — gated so
+    a Spark upgrade degrades to no-bytes rather than a crash)."""
+    try:
+        st = spark.sparkContext._jsc.sc().statusStore()  # noqa: SLF001
+        empty = spark._jvm.java.util.ArrayList()  # noqa: SLF001
+        defaults = [getattr(st, f"stageList$default${i}")() for i in range(2, 6)]
+        stages = st.stageList(empty, *defaults)
+        out = {
+            "shuffle_write_bytes": 0,
+            "shuffle_read_bytes": 0,
+            "input_bytes": 0,
+            "output_bytes": 0,
+            "n_stages": stages.size(),
+        }
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            out["shuffle_write_bytes"] += s.shuffleWriteBytes()
+            out["shuffle_read_bytes"] += s.shuffleReadBytes()
+            out["input_bytes"] += s.inputBytes()
+            out["output_bytes"] += s.outputBytes()
+        return out
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def shuffle_delta(
+    before: dict[str, int], after: dict[str, int]
+) -> dict[str, int]:
+    """after - before for the counters both snapshots carry."""
+    return {k: after[k] - before[k] for k in after if k in before}
+
+
 def spread_for_udf(df, materialized: bool = True):
     """Ensure a pandas-UDF input has ≥ cluster-parallelism partitions —
     WITHOUT a blanket repartition. UDF cost scales with ROWS, and upstream

@@ -508,12 +508,13 @@ def test_ivf_kmeans_codebook_recall_uplift(spark):
 
 def test_ivf_codebook_read_is_bounded(monkeypatch, tmp_path):
     """The IVF codebook sample must never materialize the whole embeddings
-    parquet driver-side (VERDICT r03 #1): pq.read_table is forbidden, the
-    streamed iter_batches read stops after sample_n rows, and the sampled
-    centroids equal the old full-read-then-head result on an id-ordered file."""
+    table driver-side (VERDICT r03 #1, re-pinned after the r05 dataset
+    rework): pass 1 reads ONLY the id column, pass 2 materializes only the
+    filtered ~sample_n rows, and the smallest-id sample equals the original
+    full-read-then-head result on an id-ordered file."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
+    import dedup.sampling as sampling
     from dedup.similarity import kmeans_codebook_parquet, kmeans_refine
 
     rng = np.random.default_rng(3)
@@ -530,28 +531,29 @@ def test_ivf_codebook_read_is_bounded(monkeypatch, tmp_path):
     )
     expect = [[float(v) for v in row] for row in kmeans_refine(X, 8, 2)]
 
-    monkeypatch.setattr(
-        pq, "read_table", lambda *a, **k: (_ for _ in ()).throw(
-            AssertionError("unbounded pq.read_table on the codebook path")
-        )
-    )
-    real_pf = pq.ParquetFile
-
     captured = {}
+    real_sorted = sampling._sorted_dataset
 
-    class CountingPF(real_pf):
-        def iter_batches(self, *a, **k):
-            for b in super().iter_batches(*a, **k):
-                captured["rows"] = captured.get("rows", 0) + b.num_rows
-                yield b
+    class Wrap:
+        def __init__(self, d):
+            self._d = d
 
-    monkeypatch.setattr(pq, "ParquetFile", CountingPF)
+        def to_batches(self, **k):
+            captured.setdefault("batch_cols", []).append(list(k.get("columns") or []))
+            return self._d.to_batches(**k)
+
+        def to_table(self, **k):
+            t = self._d.to_table(**k)
+            captured["table_rows"] = t.num_rows
+            return t
+
+    monkeypatch.setattr(sampling, "_sorted_dataset", lambda p: Wrap(real_sorted(p)))
     got = kmeans_codebook_parquet(path, n_centroids=8, iters=2, sample_n=96)
     assert got == expect
-    # streamed rows are bounded by sample_n rounded up to row-group batches,
-    # far below the table size
-    assert captured["rows"] < n, captured
-
+    # pass 1 streamed ONLY the id column; pass 2 materialized only the
+    # filtered smallest-id rows (= sample_n here, ids unique), never the table
+    assert captured["batch_cols"] == [["vec_id"]], captured
+    assert captured["table_rows"] == 96, captured
 
 def test_simhash_block_guards():
     """ADVICE r03 (medium): nb <= hamming must raise, not silently band on
@@ -640,6 +642,12 @@ def test_bpe_tokenizer_real_counts(spark, tmp_path):
     merges = train_bpe(texts, vocab_size=300)
     assert merges == train_bpe(list(texts), vocab_size=300)  # deterministic
     ranks = {p: i for i, p in enumerate(merges)}
+
+    # digit RUNS are single pieces (r04 advisor): trained on repeated
+    # numbers, the year merges down instead of staying one-token-per-digit
+    dm = train_bpe(["call 2026 now, 2026 is here, 2026"] * 8, vocab_size=300)
+    dtoks = bpe_encode("2026", {p: i for i, p in enumerate(dm)})
+    assert len(dtoks) == 1 and b"".join(dtoks) == b"2026"
     for t in texts[:3]:
         toks = bpe_encode(t, ranks)
         assert b"".join(toks) == t.encode()  # lossless
@@ -655,3 +663,101 @@ def test_bpe_tokenizer_real_counts(spark, tmp_path):
     out = {r.doc_id: r.n_tokens_bpe for r in with_bpe_token_count(docs, merges).collect()}
     for i, t in enumerate(texts[:12]):
         assert out[i] == len(bpe_encode(t, ranks))
+
+
+def test_bounded_samplers_on_parquet_directory(tmp_path):
+    """VERDICT r04 #4: both bounded samplers accept a DIRECTORY of part
+    files (a real table), and the codebook sample is the sample_n SMALLEST
+    ids regardless of physical row order (r04 advisor: the first-N-rows
+    shortcut silently changed the codebook on unordered parquet)."""
+    import numpy as np
+    import pandas as pd
+
+    from dedup.sampling import smallest_id_sample
+    from dedup.similarity import kmeans_codebook_parquet
+    from dedup.tokenizer import train_bpe, train_bpe_from_parquet
+
+    rng = np.random.default_rng(7)
+    n, dim = 40, 4
+    ids = rng.permutation(n)  # deliberately NOT id-ordered on disk
+    vecs = rng.normal(size=(n, dim)).round(3)
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs[ids]]}
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pdf.iloc[: n // 2].to_parquet(d / "part-00000.parquet", row_group_size=5)
+    pdf.iloc[n // 2 :].to_parquet(d / "part-00001.parquet", row_group_size=5)
+    (d / "_SUCCESS").write_text("")  # Spark marker must be skipped
+
+    samp = smallest_id_sample(str(d), "vec_id", ["vec_id", "embedding"], 10)
+    assert list(samp["vec_id"]) == list(range(10))  # smallest ids, id-sorted
+
+    # codebook from the shuffled directory == codebook from one id-sorted file
+    flat = tmp_path / "emb_sorted.parquet"
+    pdf.sort_values("vec_id").to_parquet(flat)
+    cb_dir = kmeans_codebook_parquet(str(d), n_centroids=4, sample_n=10)
+    cb_flat = kmeans_codebook_parquet(str(flat), n_centroids=4, sample_n=10)
+    assert cb_dir == cb_flat
+
+    # BPE trainer: directory sample = rows in sorted-file order, early-stopped
+    texts = [f"texty text number {i} " * 3 for i in range(12)]
+    t = tmp_path / "docs"
+    t.mkdir()
+    pd.DataFrame({"text": texts[:6]}).to_parquet(t / "part-00000.parquet")
+    pd.DataFrame({"text": texts[6:]}).to_parquet(t / "part-00001.parquet")
+    (t / "_SUCCESS").write_text("")
+    assert train_bpe_from_parquet(str(t), vocab_size=280, sample_n=8) == train_bpe(
+        texts[:8], 280
+    )
+
+
+def test_avi_decode_with_audio_stream():
+    """r04 advisor: a legitimate video+audio AVI (audio strl FIRST, so the
+    video stream is stream 1 and frames are '01db') must decode its video
+    frames — strf validation is per-stream (vids only), not every strf."""
+    import struct
+
+    from dedup.mediacodec import _avi_chunk, _avi_list, avi_decode
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(3, 4, 6, 3), dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    fps = 10
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0, n, 0, 2, frame_bytes, w, h,
+        0, 0, 0, 0,
+    )
+    # stream 0: audio — strf is a WAVEFORMATEX, NOT a bitmap header
+    strh_a = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, 16000, 0, 16000, 2, 0xFFFFFFFF, 0, 0, 0, 0, 0
+    )
+    strf_a = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    # stream 1: video
+    strh_v = b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII4H", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h
+    )
+    strf_v = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0)
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh_a) + _avi_chunk(b"strf", strf_a))
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh_v) + _avi_chunk(b"strf", strf_v)),
+    )
+    movi_body = b""
+    pad = np.zeros((h, stride - w * 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        bgr = f[::-1, :, ::-1]
+        rows = np.concatenate([bgr.reshape(h, w * 3), pad], axis=1)
+        movi_body += _avi_chunk(b"00wb", b"\x00\x01" * 50)  # audio chunk (stream 0), ignored
+        movi_body += _avi_chunk(b"01db", rows.tobytes())
+    body = b"AVI " + hdrl + _avi_list(b"movi", movi_body)
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got, uspf = avi_decode(data)
+    assert uspf == 100_000
+    assert np.array_equal(got, frames)

@@ -151,3 +151,22 @@ def test_exact_tier_counts_deskewed_no_window(spark, turns_parquet):
     )
     mplan = _plan(media_exact_dups(feats))
     assert "Window" not in mplan, mplan
+
+
+def test_keep_policy_deskewed_no_window(spark, turns_parquet):
+    """VERDICT r04 #3: select_representatives is a groupBy-min(key struct)
+    joined back, NOT a window over cluster_id — the keep policy runs over
+    the SAME mega-clusters the exact tier produces (a 10^7-copy template is
+    one cluster by construction), so a cluster_id window would serialize
+    each mega-cluster into one unsplittable task."""
+    from dedup.keep import select_representatives
+
+    turns = spark.read.parquet(turns_parquet)
+    conv = assemble_conversations(turns)
+    clusters = conv.select("conv_id").withColumn(
+        "cluster_id", F.lit("c0")
+    )  # one mega-cluster: worst case
+    for policy in ("oldest", "newest", "longest", "first_id"):
+        plan = _plan(select_representatives(clusters, conv, policy))
+        assert "Window" not in plan, (policy, plan)
+        assert "HashAggregate" in plan, (policy, plan)

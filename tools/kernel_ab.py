@@ -1,0 +1,81 @@
+"""Kernel A/B on recorded SHUFFLE BYTES, not walls (VERDICT r04 #2).
+
+Walls on this shared-hypervisor box swing 3× between identical runs
+(BENCH/BASELINE.md r04 addendum: stats 218.3s/64.9s, counts 92.5s/139.3s),
+so the counts-vs-stats default for the LSH pair kernel must be decided by
+a quantity the hypervisor cannot touch: the bytes each kernel actually
+exchanges. Spark's AppStatusStore records per-stage shuffle read/write
+bytes deterministically for a fixed plan + input; this tool runs BOTH
+kernels on the same signature table in one session and prints one JSON
+line with each kernel's shuffle write/read bytes (and its wall, for
+context only).
+
+Usage: PYTHONPATH=/root/repo python tools/kernel_ab.py [sf] [n_convs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    import bench
+    from dedup.assemble import assemble_conversations
+    from dedup.lsh import candidate_pairs
+    from dedup.minhash import with_minhash
+    from dedup.session import get_spark
+    from dedup.util import (
+        persistent_rdd_ids,
+        shuffle_delta,
+        shuffle_totals,
+        unpersist_ids,
+    )
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="kernel-ab",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
+    )
+    corpus = bench.synth_corpus_path(sf, spark)
+    turns = spark.read.parquet(corpus)
+    conv = assemble_conversations(turns).localCheckpoint()
+    sigs = with_minhash(conv).select("conv_id", "minhash").localCheckpoint()
+    n_sigs = sigs.count()
+    base_ids = persistent_rdd_ids(spark)  # keep conv/sigs checkpoints alive
+
+    out: dict = {"metric": "lsh_pair_kernel_ab", "sf": sf, "cpus": cpus, "n_sigs": n_sigs}
+    for kernel in ("counts", "stats", "counts", "stats"):  # 2 reps each
+        os.environ["SPARK_GRAFT_PAIRS_KERNEL"] = kernel
+        before = shuffle_totals(spark)
+        t0 = time.monotonic()
+        pairs, _ = candidate_pairs(sigs)
+        pairs.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        delta = shuffle_delta(before, shuffle_totals(spark))
+        unpersist_ids(spark, persistent_rdd_ids(spark) - base_ids)
+        rec = out.setdefault(kernel, [])
+        rec.append(
+            {
+                "shuffle_write_bytes": delta.get("shuffle_write_bytes"),
+                "shuffle_read_bytes": delta.get("shuffle_read_bytes"),
+                "n_stages": delta.get("n_stages"),
+                "wall_sec": round(wall, 2),
+                "spin_np": bench.spin_calibration(
+                    int(cpus) if cpus.isdigit() else 8
+                ),
+            }
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
