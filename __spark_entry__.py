@@ -102,7 +102,7 @@ def q_keep_policy(spark, sf_dir):
 
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
     rep = select_representatives(cc, conv, policy="first_id")
     return rep.select("conv_id", "cluster_id", "is_representative")
 
@@ -171,7 +171,7 @@ def q_delete_rewrite(spark, sf_dir):
     turns = derive_transcripts(spark, sf_dir)
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
     rep = select_representatives(cc, conv, policy="first_id")
     kept = apply_delete_rewrite(turns, losers(rep))
     return kept.groupBy("conv_id").agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
@@ -187,7 +187,7 @@ def q_duplicate_report(spark, sf_dir):
 
     conv = _conversations(spark, sf_dir)
     pairs = exact_pairs(conv, DedupConfig(strict=True))
-    cc = connected_components(pairs.select("conv_a", "conv_b"), loop_conf=True)
+    cc = connected_components(pairs.select("conv_a", "conv_b"))
     rep = select_representatives(cc, conv, policy="first_id")
     return formatted_report(rep, conv)
 

@@ -53,15 +53,18 @@ def connected_components(
     ``input_deduped``: the caller guarantees one row per undirected pair
     (the pipeline's edge stage is unique by construction), skipping the
     defensive dropDuplicates shuffle and the pre-count checkpoint.
-    ``loop_conf``: pin session confs for the label loop (AQE off, shuffle
-    width = loop width, both restored on return): at label-table sizes the
-    per-round cost is driver latency, and AQE's per-stage re-planning plus
-    32-wide near-empty exchanges ARE that latency. Session confs are
-    PROCESS-GLOBAL, so this defaults to False (r04 advisor: a library
-    caller planning a query from another driver thread would silently get
-    AQE off and a 2-partition shuffle width); the pipeline — where CC runs
-    alone, after the concurrent tier threads have joined — opts in
-    explicitly.
+    ``loop_conf``: DEPRECATED no-op, kept for signature compatibility. The
+    r04 experiment pinned session confs for the loop (AQE off, shuffle
+    width = loop width) on the theory that AQE re-planning was the
+    per-round latency. Measured head-to-head at sf0.1 / local[8] (227k
+    edges, 133k nodes, 2 reps each): AQE-off pinned-width 53.0-60.5s /
+    148-204 MB shuffle write / ~349 stages; AQE ON (plain session confs)
+    9.3s / 18 MB / 26 stages; AQE-off at width 32 still 59.6s. AQE's
+    partition coalescing is what keeps the near-empty label exchanges
+    cheap — disabling it was the clusters-stage regression (13→44→56s
+    across r03-r05 benches), so the pinning is REMOVED, which also closes
+    the r04 advisor note about mutating process-global session confs under
+    concurrent driver threads.
     ``metrics_out``: optional dict the loop fills with its bound runtime
     knobs (``cc_loop_width``, ``cc_edges``, ``cc_rounds``) — the caps-audit
     contract (VERDICT r04 #7): every width/cap that binds is reported, so a
@@ -90,21 +93,9 @@ def connected_components(
         metrics_out["cc_loop_width"] = cc_parts
         metrics_out["cc_edges"] = n_edges
 
-    _saved_conf = {}
-    if loop_conf:
-        for key, val in (
-            ("spark.sql.adaptive.enabled", "false"),
-            ("spark.sql.shuffle.partitions", str(cc_parts)),
-        ):
-            _saved_conf[key] = spark.conf.get(key)
-            spark.conf.set(key, val)
-    try:
-        return _cc_loop(
-            spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out
-        )
-    finally:
-        for key, val in _saved_conf.items():
-            spark.conf.set(key, val)
+    return _cc_loop(
+        spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out
+    )
 
 
 def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out=None):

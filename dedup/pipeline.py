@@ -391,9 +391,6 @@ class DedupPipeline:
                 log=self.log,
                 n_edges=None if n_edges is None or n_edges < 0 else n_edges,
                 input_deduped=True,  # edge stage is one row per pair
-                # safe here: CC runs alone (tier threads joined long ago),
-                # so pinning process-global session confs cannot race
-                loop_conf=True,
                 metrics_out=metrics,  # cc_loop_width / cc_edges / cc_rounds
             )
             _before_clusters = persistent_rdd_ids(self.spark)

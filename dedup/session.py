@@ -73,6 +73,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("DEDUP_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # AppStatusStore retention: util.shuffle_totals sums per-stage byte
+        # counters from this store (the bench/kernel-A/B evidence). At the
+        # default retention (~1000 stages) long runs EVICT early stages and
+        # before/after deltas go NEGATIVE (observed: -827 MB). Retention is
+        # metadata-cheap; keep every stage a bench run can produce.
+        .config("spark.ui.retainedStages", "50000")
+        .config("spark.ui.retainedJobs", "20000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # UDF-heavy text work: cost ∝ rows, so prefer more, smaller splits
         # than the 128 MB default (row-group granularity still applies)

@@ -88,7 +88,7 @@ def run_phases(cpus: int, corpus: str) -> dict[str, float]:
         .dropDuplicates(["conv_a", "conv_b"]).localCheckpoint()
     )
     edges = verify_pairs(pairs, sigs, cfg).localCheckpoint()
-    cc = connected_components(edges.select("conv_a", "conv_b"), loop_conf=True)
+    cc = connected_components(edges.select("conv_a", "conv_b"))
     noop(cc)
     walls["verify_cc"] = time.monotonic() - t0
 
