@@ -189,7 +189,7 @@ def main() -> None:
     # shared-hypervisor host drifts 2x cannot be adjudicated after the
     # fact; each rep carries a SAME-MOMENT spin sample so the reported
     # best-rep wall has its own host-speed context in the JSON.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # fused + no tier-metric jobs: the benchmark measures the dedup dataflow,
     # not optional accounting; fused correctness is pinned by
     # tests/test_pipeline.py::test_fused_run_identical_clusters
