@@ -52,24 +52,32 @@ def bucketed_pairs(
     cap: int,
     materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """COUNT-FIRST candidate pairing, shared by the LSH and SimHash tiers.
+    """Size-routed candidate pairing, shared by the LSH and SimHash tiers.
 
-    Pass 1 aggregates ONLY the bucket count — a whole-stage-codegen
-    HashAggregate whose exchange carries nothing but the bucket key and a
-    partial count. In a banded corpus the vast majority of buckets are
-    singletons, so partial combine barely reduces rows — which means
-    whatever is in the aggregation's projection moves through the shuffle
-    nearly once per banded row. The r03 formulation aggregated (count,
-    min(m), max(m)) in one pass and therefore shuffled every member struct
-    TWICE (partial min + partial max) for buckets that were about to die;
-    at 26M banded rows that is the difference between a ~150 MB and a
-    ~400 MB exchange, and shuffle bytes are exactly the resource that does
-    NOT scale with added cores on a shared memory bus (measured: the pair
-    phases scale at ~2.0× at 4×-cores vs the 3.7× cpu ceiling — they track
-    the bus). Member structs now move only for DUPLICATE buckets: pass 2
-    joins the banded rows against the surviving bucket list (AQE broadcasts
-    it when small, skew-splits when not) and computes (count, min, max)
-    over that small subset.
+    Two selectable kernels build the per-bucket (s, m0, m1) stats table
+    (``SPARK_GRAFT_PAIRS_KERNEL``, default ``stats``):
+
+    - ``stats`` (default): ONE wide aggregation — (count, min(m), max(m))
+      per bucket — so member structs cross the shuffle twice (partial min
+      + partial max) even for singleton buckets that are about to die.
+    - ``counts``: count-only pass 1 (the exchange carries just the bucket
+      key + a partial count), then a second aggregation fetches members
+      for the surviving duplicate buckets only.
+
+    The default is decided by RECORDED shuffle bytes + stage counts, not
+    theory (tools/kernel_ab.py, sf0.1, byte-identical input, both kernels
+    in one session — bytes are deterministic for a fixed plan, immune to
+    this host's 3× wall noise): with the narrow member structs these tiers
+    actually carry (a short ``conv_id`` string, or (conv_id, turn_idx)),
+    counts-first saves only 9% bytes on the LSH tier (127.7 vs 140.3 MB)
+    and 3.7% on the SimHash tier (330.9 vs 343.1 MB) while adding 3 and 15
+    stages respectively — and its walls were consistently worse at
+    comparable same-moment spins (LSH 19.0 vs 13.3 s; SimHash 34.8 vs
+    23.7 s). The r03/r04 prose predicted members dominate the exchange;
+    the recorded bytes refute that at this member width. ``counts`` stays
+    selectable for workloads whose member structs are genuinely wide
+    (large payload columns), where the twice-shuffled-members term grows
+    with member width while the keys-only pass does not.
 
     Routing by bucket size s (unchanged — results identical):
     - s == 2 (the dominant duplicate shape): the pair is (min, max)
@@ -98,33 +106,33 @@ def bucketed_pairs(
     keyed = rows.select(*bucket_cols, m.alias("m"))
     if materialize:
         keyed = keyed.localCheckpoint()
-    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "counts") == "stats":
-        # one-pass variant (r03): single wide aggregation; cheaper per JOB
-        # but shuffles every member struct twice — kept selectable so the
-        # two kernels can be A/B'd in one session at any scale
-        stats = (
+    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "stats") == "counts":
+        # count-first variant: fewer shuffle bytes (members move only for
+        # duplicate buckets) but 3 extra stages; selectable for
+        # wide-member workloads and same-session A/Bs (tools/kernel_ab.py)
+        counts = (
             keyed.groupBy(*bucket_cols)
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
+        ).localCheckpoint()
+        stats = (
+            keyed.join(counts.select(*bucket_cols), list(bucket_cols))
+            .groupBy(*bucket_cols)
             .agg(
                 F.count(F.lit(1)).alias("s"),
                 F.min("m").alias("m0"),
                 F.max("m").alias("m1"),
             )
-            .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
         ).localCheckpoint()
         return route_bucket_pairs(keyed, stats, bucket_cols, cap)
-    counts = (
-        keyed.groupBy(*bucket_cols)
-        .agg(F.count(F.lit(1)).alias("s"))
-        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
-    ).localCheckpoint()
     stats = (
-        keyed.join(counts.select(*bucket_cols), list(bucket_cols))
-        .groupBy(*bucket_cols)
+        keyed.groupBy(*bucket_cols)
         .agg(
             F.count(F.lit(1)).alias("s"),
             F.min("m").alias("m0"),
             F.max("m").alias("m1"),
         )
+        .where(F.col("s") > 1)  # singleton buckets can't pair (≈ F3)
     ).localCheckpoint()
     return route_bucket_pairs(keyed, stats, bucket_cols, cap)
 
@@ -135,7 +143,7 @@ def route_bucket_pairs(
     """Size-routed pair emission from precomputed bucket stats (see
     ``bucketed_pairs``, which builds the stats; callers that already have a
     per-bucket (s, m0, m1) aggregation — e.g. the SimHash exact-fingerprint
-    path, which shares its count-first split with the banding paths — call
+    path, which shares its kernel split with the banding paths — call
     this directly and skip the extra
     shuffle). ``keyed`` = (bucket_cols..., m: struct); ``stats`` =
     (bucket_cols..., s, m0, m1) with s > 1, and should be materialized (its

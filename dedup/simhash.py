@@ -347,31 +347,19 @@ def simhash_turn_pairs(
             )
         )
 
-    # COUNT-ONLY pass over the turn table feeds path 1 (duplicate
+    # One aggregation over the turn table feeds path 1 (duplicate
     # fingerprint groups), path 2 (the distinct-fingerprint list + its
-    # count), and the block picker. The exchange carries (simhash, partial
-    # count) — never the (conv_id, turn_idx) member struct, which for the
-    # mostly-singleton fingerprints would otherwise move through the
-    # shuffle twice (partial min + partial max) just to be discarded; the
-    # members of DUPLICATE fingerprints are fetched in a second, far
-    # smaller aggregation (same count-first split as lsh.bucketed_pairs).
+    # count), and the block picker. Default kernel is the one-pass stats
+    # aggregation: the count-first split saves only 3.7% shuffle bytes on
+    # this tier (330.9 vs 343.1 MB recorded, tools/kernel_ab.py — the
+    # (conv_id, turn_idx) member struct is narrow) while adding 15 stages
+    # and consistently worse walls (34.8 vs 23.7 s at comparable spins).
+    # ``counts`` stays selectable for wide-member workloads and A/Bs.
     import os
 
     m0 = F.struct("conv_id", "turn_idx")
     keyed0 = t.select("simhash", m0.alias("m"))
-    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "counts") == "stats":
-        # one-pass variant (r03), selectable for same-session A/Bs
-        fp_counts = (
-            t.groupBy("simhash")
-            .agg(
-                F.count(F.lit(1)).alias("s"),
-                F.min(m0).alias("m0"),
-                F.max(m0).alias("m1"),
-            )
-            .localCheckpoint()
-        )
-        stats0 = fp_counts.where(F.col("s") > 1)
-    else:
+    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "stats") == "counts":
         fp_counts = (
             t.groupBy("simhash").agg(F.count(F.lit(1)).alias("s")).localCheckpoint()
         )
@@ -386,6 +374,17 @@ def simhash_turn_pairs(
             )
             .localCheckpoint()
         )
+    else:
+        fp_counts = (
+            t.groupBy("simhash")
+            .agg(
+                F.count(F.lit(1)).alias("s"),
+                F.min(m0).alias("m0"),
+                F.max(m0).alias("m1"),
+            )
+            .localCheckpoint()
+        )
+        stats0 = fp_counts.where(F.col("s") > 1)
 
     # (1) exact fingerprint groups — no banding, one row per turn
     raw0, ov0 = route_bucket_pairs(

@@ -143,8 +143,9 @@ def test_bucketed_pairs_array_agg_is_cap_bounded(spark):
 
 
 def test_pair_kernel_variants_identical(spark, turns_df, monkeypatch):
-    """The count-first (default) and one-pass stats pair kernels must emit
-    identical pair sets — the env knob exists for same-session A/Bs only."""
+    """The one-pass stats (default, by recorded bytes — tools/kernel_ab.py)
+    and count-first pair kernels must emit identical pair sets — the env
+    knob selects cost, never results."""
     from dedup.assemble import assemble_conversations
     from dedup.config import DedupConfig
     from dedup.lsh import candidate_pairs

@@ -10,7 +10,10 @@ kernels on the same signature table in one session and prints one JSON
 line with each kernel's shuffle write/read bytes (and its wall, for
 context only).
 
-Usage: PYTHONPATH=/root/repo python tools/kernel_ab.py [sf] [n_convs]
+Usage: PYTHONPATH=/root/repo python tools/kernel_ab.py [sf] [tier]
+``tier`` is ``lsh`` (default) or ``simhash`` — the two pair kernels carry
+different member structs (conv_id vs (conv_id, turn_idx)+simhash keys), so
+each tier's default is decided by ITS OWN recorded bytes.
 """
 
 from __future__ import annotations
@@ -26,11 +29,14 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    tier = sys.argv[2] if len(sys.argv) > 2 else "lsh"
     import bench
     from dedup.assemble import assemble_conversations
+    from dedup.config import DedupConfig
     from dedup.lsh import candidate_pairs
     from dedup.minhash import with_minhash
     from dedup.session import get_spark
+    from dedup.simhash import simhash_conv_pairs, with_turn_simhash
     from dedup.util import (
         persistent_rdd_ids,
         shuffle_delta,
@@ -47,16 +53,28 @@ def main() -> None:
     corpus = bench.synth_corpus_path(sf, spark)
     turns = spark.read.parquet(corpus)
     conv = assemble_conversations(turns).localCheckpoint()
-    sigs = with_minhash(conv).select("conv_id", "minhash").localCheckpoint()
-    n_sigs = sigs.count()
-    base_ids = persistent_rdd_ids(spark)  # keep conv/sigs checkpoints alive
+    if tier == "simhash":
+        source = (
+            with_turn_simhash(turns, DedupConfig())
+            .select("conv_id", "turn_idx", "simhash")
+            .localCheckpoint()
+        )
+    else:
+        source = with_minhash(conv).select("conv_id", "minhash").localCheckpoint()
+    n_rows = source.count()
+    base_ids = persistent_rdd_ids(spark)  # keep conv/source checkpoints alive
 
-    out: dict = {"metric": "lsh_pair_kernel_ab", "sf": sf, "cpus": cpus, "n_sigs": n_sigs}
+    out: dict = {
+        "metric": f"{tier}_pair_kernel_ab", "sf": sf, "cpus": cpus, "n_rows": n_rows
+    }
     for kernel in ("counts", "stats", "counts", "stats"):  # 2 reps each
         os.environ["SPARK_GRAFT_PAIRS_KERNEL"] = kernel
         before = shuffle_totals(spark)
         t0 = time.monotonic()
-        pairs, _ = candidate_pairs(sigs)
+        if tier == "simhash":
+            pairs = simhash_conv_pairs(source, DedupConfig(), materialize=True)
+        else:
+            pairs, _ = candidate_pairs(source)
         pairs.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
         delta = shuffle_delta(before, shuffle_totals(spark))
