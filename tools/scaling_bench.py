@@ -71,7 +71,13 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["PYTHONPATH"] = REPO
-    env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    # 2 reps per leg, best (= warm) wall: a cold JVM's first pipeline run
+    # is JIT/startup-dominated (measured r05: reps 253.9/102.0/50.9 s in
+    # one session on a qualifying host — a 5x decay the corpus-shaped
+    # warmup pass does not remove), and a real N-executor cluster
+    # amortizes JIT over hours, so the steady-state rep is the honest
+    # per-leg wall for the scaling ratio.
+    env["SPARK_GRAFT_BENCH_REPS"] = os.environ.get("SCALE_LEG_REPS", "2")
     env["SPARK_GRAFT_BENCH_ONLY"] = "pipeline_synth"
     # the ROUND is already host-gated here; don't double-wait inside the leg
     # (budget 0 → bench records its gate spins but proceeds immediately)

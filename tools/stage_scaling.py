@@ -119,16 +119,45 @@ def main() -> None:
 
     from tools.scaling_bench import spin_calibration
 
-    # same-moment cpu ceiling context for each child (host drifts >2×)
-    ceil_pre = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
-    w_hi = child(hi)
-    w_lo = child(lo)
-    ceil_post = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
-    print(f"\ncpu ceiling pre={ceil_pre:.2f} post={ceil_post:.2f}")
-    print(f"{'phase':<16}{f'local[{lo}]':>12}{f'local[{hi}]':>12}{'ratio':>8}")
-    for ph in PHASES:
-        r = w_lo[ph] / w_hi[ph] if w_hi[ph] else float("nan")
-        print(f"{ph:<16}{w_lo[ph]:>12.2f}{w_hi[ph]:>12.2f}{r:>8.2f}")
+    # Same-moment HARDWARE ceilings bracket each round (host drifts >2×):
+    # the cpu ceiling (cache-resident spin) bounds compute-bound phases,
+    # the bw ceiling (64 MiB streaming spin) bounds the DRAM-streaming
+    # ones. A phase ratio is judged against ITS binding ceiling — on a
+    # qualifying host both are near 4x; on a bus-starved host a phase at
+    # the measured bw ceiling is still the software at the hardware limit.
+    rounds = int(os.environ.get("STAGE_ROUNDS", "2"))
+    recs = []
+    for rnd in range(rounds):
+        cpu_pre = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
+        bw_pre = spin_calibration(hi, dur=2.0, mem=True) / spin_calibration(
+            lo, dur=2.0, mem=True
+        )
+        s_pre = spin_calibration(1, dur=2.0)
+        w_hi = child(hi)
+        s_mid = spin_calibration(1, dur=2.0)
+        w_lo = child(lo)
+        s_post = spin_calibration(1, dur=2.0)
+        cpu_post = spin_calibration(hi, dur=2.0) / spin_calibration(lo, dur=2.0)
+        bw_post = spin_calibration(hi, dur=2.0, mem=True) / spin_calibration(
+            lo, dur=2.0, mem=True
+        )
+        rec = {
+            "round": rnd,
+            "cpu_ceiling": [round(cpu_pre, 2), round(cpu_post, 2)],
+            "bw_ceiling": [round(bw_pre, 2), round(bw_post, 2)],
+            "spin_1p": [s_pre, s_mid, s_post],
+            "walls_lo": w_lo,
+            "walls_hi": w_hi,
+        }
+        recs.append(rec)
+        print(f"\nround {rnd}: cpu ceiling {cpu_pre:.2f}/{cpu_post:.2f} "
+              f"bw ceiling {bw_pre:.2f}/{bw_post:.2f} "
+              f"1p spins {s_pre}/{s_mid}/{s_post}")
+        print(f"{'phase':<16}{f'local[{lo}]':>12}{f'local[{hi}]':>12}{'ratio':>8}")
+        for ph in PHASES:
+            r = w_lo[ph] / w_hi[ph] if w_hi[ph] else float("nan")
+            print(f"{ph:<16}{w_lo[ph]:>12.2f}{w_hi[ph]:>12.2f}{r:>8.2f}")
+    print("\nSTAGE_SCALING " + json.dumps(recs))
 
 
 if __name__ == "__main__":
