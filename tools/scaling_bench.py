@@ -350,7 +350,10 @@ Full bench JSON (last round):
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # SCALING.md, not BASELINE.md: BASELINE.md is the curated record (it
+    # also carries the headline + kernel evidence and the refused-session
+    # log) and must not be clobbered by a later raw scaling rerun
+    path = os.path.join(REPO, "BENCH", os.environ.get("SCALE_OUT", "SCALING.md"))
     with open(path, "w") as f:
         f.write(md)
     print(md)
