@@ -127,6 +127,12 @@ def host_gate(n_procs: int, budget_sec: float | None = None) -> dict:
     while True:
         s1 = spin_calibration(1, dur=2.0)
         sn = spin_calibration(n_procs, dur=2.0)
+        # 1-proc STREAMING spin: absolute bus availability context. Not a
+        # floor (the gate's qualification stays cpu-steal-based), but
+        # recorded per attempt because r05 measured whole sessions where
+        # cpu spins were healthy while 4x workers got <1x aggregate
+        # bandwidth — a wall taken then needs this number beside it.
+        s1m = spin_calibration(1, dur=2.0, mem=True)
         _gate_state["best1"] = max(_gate_state.get("best1", 0), s1)
         _gate_state["bestN"] = max(_gate_state.get("bestN", 0), sn)
         ok = (
@@ -134,7 +140,7 @@ def host_gate(n_procs: int, budget_sec: float | None = None) -> dict:
             and s1 >= SPIN_REL_FLOOR * _gate_state["best1"]
             and sn >= SPIN_REL_FLOOR * _gate_state["bestN"]
         )
-        attempts.append({"spin_1p": s1, "spin_np": sn, "ok": ok})
+        attempts.append({"spin_1p": s1, "spin_np": sn, "spin_mem_1p": s1m, "ok": ok})
         waited = time.monotonic() - t0
         if ok or waited >= budget:
             return {
