@@ -98,44 +98,66 @@ def connected_components(
     )
 
 
+#: propagation hops fused into each convergence-checked round. With the
+#: self-loop hop below (one join + one aggregation per hop) a 3-hop round
+#: is a shallower plan than the old 2-hop shape (which paid a second join
+#: per hop), and 3 hops/round converged sf0.1 in 4 rounds vs 6 — measured
+#: r06 at matched spins: 7.3-8.7 s vs 11.6-16.0 s for the old loop, label
+#: sets bit-identical. 4 hops/round saved no further rounds.
+_HOPS_PER_ROUND = 3
+
+
 def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_out=None):
     from dedup.util import persistent_rdd_ids, unpersist_ids
 
-    # symmetric adjacency: one DataFrame, both directions
-    sym = (
+    # symmetric adjacency PLUS one self-loop row per node: min(label) over
+    # neighbors ∪ self is then ONE join + ONE aggregation per hop. The r05
+    # shape needed a second join back to the previous labels (for the self
+    # term and the ride-along convergence column); the self-loop row carries
+    # both — its label IS the node's own label, and the agg below recovers
+    # the node's label0 from it via min(when(conv_b == conv_a, label0)).
+    sym2 = (
         edges.unionByName(
             edges.select(
                 F.col("conv_b").alias("conv_a"), F.col("conv_a").alias("conv_b")
             )
         )
+        .unionByName(
+            edges.select(F.col("conv_a").alias("conv_id"))
+            .unionByName(edges.select(F.col("conv_b").alias("conv_id")))
+            .distinct()
+            .select(
+                F.col("conv_id").alias("conv_a"), F.col("conv_id").alias("conv_b")
+            )
+        )
         .repartition(cc_parts, "conv_b")
         .localCheckpoint()
     )
-    pinned.append(sym)
+    pinned.append(sym2)
 
     labels = (
-        sym.select(F.col("conv_a").alias("conv_id"))
+        sym2.select(F.col("conv_b").alias("conv_id"))
         .distinct()
-        .withColumn("label", F.col("conv_id"))
-        .repartition(cc_parts, "conv_id")
+        .select(
+            "conv_id",
+            F.col("conv_id").alias("label"),
+            F.col("conv_id").alias("label0"),
+        )
         .localCheckpoint()
     )
     pinned.append(labels)
 
     def _hop(lbls):
-        nbr_min = (
-            sym.join(lbls, sym["conv_b"] == lbls["conv_id"])
-            .groupBy("conv_a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        return lbls.join(
-            nbr_min, lbls["conv_id"] == nbr_min["conv_a"], "left"
-        ).select(
-            "conv_id",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                "label"
-            ),
-            "label0",
+        j = sym2.join(lbls, sym2["conv_b"] == lbls["conv_id"])
+        return (
+            j.groupBy("conv_a")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("conv_b") == F.col("conv_a"), F.col("label0"))
+                ).alias("label0"),
+            )
+            .withColumnRenamed("conv_a", "conv_id")
         )
 
     # NOTE: a pointer-jumping step (label ← label(label), Shiloach-Vishkin
@@ -146,23 +168,19 @@ def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_o
 
     # label0 rides along so the convergence check needs NO join back to the
     # previous round — `changed` is a plain agg over the stepped frame.
-    # NOTE: batching MORE hops per round (2,4,4,... before each count) was
-    # measured and REVERTED, like r03's pointer jumping: an 8-join-deep
-    # round re-optimizes under AQE at every stage boundary and the
-    # driver-side planning cost (15-37 s per 4-hop round at sf0.01) dwarfs
-    # the 1-2 saved convergence-check jobs. Two hops per round keeps the
-    # per-round plan shallow enough that job latency, not planning, is the
-    # per-round cost.
-    labels = labels.withColumn("label0", F.col("label"))
+    # (The r05 note about 4-hop rounds paying 15-37 s of AQE planning was
+    # measured on the OLD two-join hop; the one-join hop re-measured 2 vs 3
+    # vs 4 hops/round in r06 and 3 won — see _HOPS_PER_ROUND.)
     prev_cached = None
     for it in range(max_iters):
-        # two propagation hops per round: label data is tiny, so per-round
-        # cost is JOB latency, not compute. One Spark job per round: the
-        # count() both materializes the persisted frame and measures
-        # convergence; localCheckpoint every third round truncates the
-        # lineage (per-round plans grow linearly between cuts, which the
-        # analyzer tolerates; unbounded growth it does not).
-        stepped = _hop(_hop(labels))
+        # one Spark job per round: the count() both materializes the
+        # persisted frame and measures convergence; localCheckpoint every
+        # third round truncates the lineage (per-round plans grow linearly
+        # between cuts, which the analyzer tolerates; unbounded growth it
+        # does not).
+        stepped = labels
+        for _ in range(_HOPS_PER_ROUND):
+            stepped = _hop(stepped)
         if it % 3 == 2:
             stepped = stepped.localCheckpoint()
         else:
@@ -177,10 +195,11 @@ def _cc_loop(spark, edges, cc_parts, max_iters, log, pinned, _pre_ids, metrics_o
             "conv_id", "label", F.col("label").alias("label0")
         )
         if log:
-            log(f"cc round {it} (2 hops): {changed} labels changed")
+            log(f"cc round {it} ({_HOPS_PER_ROUND} hops): {changed} labels changed")
         if changed == 0:
             if metrics_out is not None:
                 metrics_out["cc_rounds"] = it + 1
+                metrics_out["cc_hops_per_round"] = _HOPS_PER_ROUND
             break
     else:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")

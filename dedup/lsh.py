@@ -51,11 +51,13 @@ def bucketed_pairs(
     member_cols: list[str],
     cap: int,
     materialize: bool = True,
+    kernel: str = "stats",
 ) -> tuple[DataFrame, DataFrame]:
     """Size-routed candidate pairing, shared by the LSH and SimHash tiers.
 
     Two selectable kernels build the per-bucket (s, m0, m1) stats table
-    (``SPARK_GRAFT_PAIRS_KERNEL``, default ``stats``):
+    (``kernel`` — plumbed from ``DedupConfig.pairs_kernel``, default
+    ``stats``):
 
     - ``stats`` (default): ONE wide aggregation — (count, min(m), max(m))
       per bucket — so member structs cross the shuffle twice (partial min
@@ -100,13 +102,20 @@ def bucketed_pairs(
     Returns (pairs(a: struct, b: struct), overflow(bucket_cols, bucket_n)),
     with a < b in member-struct order (first member column ascending).
     """
-    import os
+    from dedup.util import narrow_plan
 
     m = F.struct(*[F.col(c) for c in member_cols])
     keyed = rows.select(*bucket_cols, m.alias("m"))
-    if materialize:
+    # the banded rows have exactly two consumers (the stats aggregation and
+    # the s>2 membership join). Checkpoint them ONLY when re-computing is
+    # expensive (a UDF or shuffle in the lineage): banding over an
+    # already-materialized signature table is a narrow project+explode+
+    # xxhash64 pass, and re-running it twice beats writing + re-reading a
+    # banded-rows checkpoint (measured r06: lsh_pairs micro 4.6 → ~3.3 s,
+    # the 150 MB keyed checkpoint was pure overhead)
+    if materialize and not narrow_plan(keyed):
         keyed = keyed.localCheckpoint()
-    if os.environ.get("SPARK_GRAFT_PAIRS_KERNEL", "stats") == "counts":
+    if kernel == "counts":
         # count-first variant: fewer shuffle bytes (members move only for
         # duplicate buckets) but 3 extra stages; selectable for
         # wide-member workloads and same-session A/Bs (tools/kernel_ab.py)
@@ -203,6 +212,7 @@ def candidate_pairs(
         ["conv_id"],
         cfg.band_bucket_cap,
         materialize=materialize,
+        kernel=cfg.pairs_kernel,
     )
     pairs = raw.select(
         F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")

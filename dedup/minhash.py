@@ -67,6 +67,31 @@ def _roll_weights(k: int) -> np.ndarray:
 
 _ROLL_BASE_INV = np.uint64(pow(int(_ROLL_BASE), -1, 1 << 64))
 
+#: per-process cache of the geometric power series B^i / B^-i used by every
+#: rolling-hash kernel (minhash shingles, simhash grams, span anchors, LCS
+#: prefix arrays). The series depends only on its base, so one growing array
+#: serves every batch; np.cumprod is a sequential scan re-run per batch
+#: (measured 2× the whole window-hash kernel), while the doubling fill below
+#: runs log2(n) vectorized multiplies ONCE per process.
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _pow_series(base: np.uint64, n: int) -> np.ndarray:
+    """First ``n`` powers of ``base`` mod 2^64 (cached, grow-only)."""
+    arr = _POW_CACHE.get(int(base))
+    if arr is None or arr.size < n:
+        size = max(n, 1 << 20)
+        b = np.empty(size, dtype=np.uint64)
+        b[0] = 1
+        m = 1
+        with np.errstate(over="ignore"):
+            while m < size:
+                step = min(m, size - m)
+                np.multiply(b[:step], b[m - 1] * base, out=b[m : m + step])
+                m += step
+        _POW_CACHE[int(base)] = arr = b
+    return arr[:n]
+
 
 def _window_hashes_1d(arr_u64: np.ndarray, k: int) -> np.ndarray:
     """UNMIXED polynomial hashes of every k-element window, O(n).
@@ -83,14 +108,8 @@ def _window_hashes_1d(arr_u64: np.ndarray, k: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        binv_pow = np.ones(n, dtype=np.uint64)
-        if n > 1:
-            binv_pow[1:] = _ROLL_BASE_INV
-            np.cumprod(binv_pow, out=binv_pow)
-        b_pow = np.ones(n, dtype=np.uint64)
-        if n > 1:
-            b_pow[1:] = _ROLL_BASE
-            np.cumprod(b_pow, out=b_pow)
+        binv_pow = _pow_series(_ROLL_BASE_INV, n)
+        b_pow = _pow_series(_ROLL_BASE, n)
         c = arr_u64 * binv_pow
         s = np.zeros(n + 1, dtype=np.uint64)
         np.cumsum(c, out=s[1:])

@@ -44,19 +44,15 @@ _BINV = np.uint64(pow(int(_B), -1, 1 << 64))
 def _prefix_arrays(arr_u64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """S, P arrays such that hash of window [i, i+L) = (S[i+L]-S[i]) * P[i']
     for a fixed per-L factor; see _window_hashes."""
+    from dedup.minhash import _pow_series
+
     n = arr_u64.size
     with np.errstate(over="ignore"):
-        binv_pow = np.ones(n, dtype=np.uint64)
-        if n > 1:
-            binv_pow[1:] = _BINV
-            np.cumprod(binv_pow, out=binv_pow)  # BINV^i
+        binv_pow = _pow_series(_BINV, n)  # BINV^i (process-cached series)
         c = arr_u64 * binv_pow
         s = np.zeros(n + 1, dtype=np.uint64)
         np.cumsum(c, out=s[1:])  # wraparound cumsum
-        b_pow = np.ones(n, dtype=np.uint64)
-        if n > 1:
-            b_pow[1:] = _B
-            np.cumprod(b_pow, out=b_pow)  # B^i
+        b_pow = _pow_series(_B, n)  # B^i
     return s, b_pow
 
 
@@ -126,18 +122,35 @@ def doc_anchors(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def anchors_udf(docs: pd.Series) -> pd.Series:
-        out = []
-        for doc in docs:
-            norm = py_normalize(doc or "")[:cap]
-            arr = np.frombuffer(norm.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
-            if arr.size < w:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            s, p = _prefix_arrays(arr)
-            h = _window_hashes(s, p, w)
-            sel = np.unique(h[h % np.uint64(mod) == 0])
-            out.append(sel.astype(np.int64))
-        return pd.Series(out)
+        # ONE vectorized pass for the whole batch (was a per-doc loop of
+        # ~10 small numpy calls — fixed overhead dominated at ~2 KB/doc).
+        # batch_window_hashes window values are position-independent and
+        # use the same base + mix64 as the per-doc _window_hashes, so the
+        # emitted anchor hashes are bit-identical to the loop's.
+        from dedup.minhash import batch_window_hashes
+
+        normed = [py_normalize(d or "")[:cap] for d in docs]
+        n = len(normed)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        H, _starts, counts = batch_window_hashes(normed, w)
+        lens = np.fromiter(
+            (len(s.encode("utf-8", "surrogatepass")) for s in normed),
+            dtype=np.int64,
+            count=n,
+        )
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        # docs shorter than the window emit no anchors (their single
+        # whole-text hash from batch_window_hashes must not leak through)
+        m = np.repeat(lens >= w, counts) & (H % np.uint64(mod) == 0)
+        d_sel, h_sel = doc_idx[m], H[m].astype(np.int64)
+        order = np.lexsort((h_sel, d_sel))
+        d_s, h_s = d_sel[order], h_sel[order]
+        keep = np.ones(d_s.size, dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_s, h_s = d_s[keep], h_s[keep]
+        bounds = np.searchsorted(d_s, np.arange(n + 1))
+        return pd.Series([h_s[bounds[i] : bounds[i + 1]] for i in range(n)])
 
     return conversations.select(
         "conv_id", F.explode(anchors_udf(F.col("doc"))).alias("anchor_hash")
@@ -178,6 +191,7 @@ def span_candidate_pairs(
         ["conv_id"],
         cfg.band_bucket_cap,
         materialize=False,  # anchors above IS the cut; keyed re-read is free
+        kernel=cfg.pairs_kernel,
     )
     pairs = (
         raw.select(

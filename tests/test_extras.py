@@ -761,3 +761,27 @@ def test_avi_decode_with_audio_stream():
     got, uspf = avi_decode(data)
     assert uspf == 100_000
     assert np.array_equal(got, frames)
+
+
+def test_lineage_queries_share_one_pipeline_run_pair(spark, monkeypatch):
+    """VERDICT r05 #6: the lineage/resume queries are memoized per
+    (process, sf_dir) — executing BOTH queries in one correctness session
+    must run the pipeline exactly twice (fresh + resumed), never a third
+    time for the second query."""
+    import __spark_entry__ as entry
+    from dedup.pipeline import DedupPipeline
+
+    entry._lineage_memo.clear()
+    calls = {"n": 0}
+    orig_run = DedupPipeline.run
+
+    def counting_run(self, turns):
+        calls["n"] += 1
+        return orig_run(self, turns)
+
+    monkeypatch.setattr(DedupPipeline, "run", counting_run)
+    entry.q_pipeline_lineage(spark, SF).collect()
+    assert calls["n"] == 2  # fresh + resumed
+    entry.q_pipeline_resume(spark, SF).collect()
+    assert calls["n"] == 2  # memo hit: no third run
+    entry._lineage_memo.clear()

@@ -142,10 +142,10 @@ def test_bucketed_pairs_array_agg_is_cap_bounded(spark):
         ), "collect_list aggregate not gated by the cap filter:\n" + plan
 
 
-def test_pair_kernel_variants_identical(spark, turns_df, monkeypatch):
+def test_pair_kernel_variants_identical(spark, turns_df):
     """The one-pass stats (default, by recorded bytes — tools/kernel_ab.py)
-    and count-first pair kernels must emit identical pair sets — the env
-    knob selects cost, never results."""
+    and count-first pair kernels must emit identical pair sets — the
+    ``DedupConfig.pairs_kernel`` knob selects cost, never results."""
     from dedup.assemble import assemble_conversations
     from dedup.config import DedupConfig
     from dedup.lsh import candidate_pairs
@@ -161,9 +161,8 @@ def test_pair_kernel_variants_identical(spark, turns_df, monkeypatch):
     )
     out = {}
     for kern in ("counts", "stats"):
-        monkeypatch.setenv("SPARK_GRAFT_PAIRS_KERNEL", kern)
-        lp, _ = candidate_pairs(sigs, DedupConfig())
-        tp, _ = simhash_turn_pairs(sh, DedupConfig())
+        lp, _ = candidate_pairs(sigs, DedupConfig(pairs_kernel=kern))
+        tp, _ = simhash_turn_pairs(sh, DedupConfig(pairs_kernel=kern))
         out[kern] = (
             {(r.conv_a, r.conv_b) for r in lp.collect()},
             {(r.conv_a, r.turn_a, r.conv_b, r.turn_b, r.hamming) for r in tp.collect()},

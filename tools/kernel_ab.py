@@ -1,14 +1,16 @@
-"""Kernel A/B on recorded SHUFFLE BYTES, not walls (VERDICT r04 #2).
+"""Per-tier pair-kernel A/B on recorded SHUFFLE BYTES, not walls
+(VERDICT r04 #2). The ``stats`` kernel is the current default on BOTH
+tiers (``DedupConfig.pairs_kernel``, flipped in r05 on this tool's
+recorded bytes + walls); the tool remains the way to re-decide per tier.
 
 Walls on this shared-hypervisor box swing 3× between identical runs
 (BENCH/BASELINE.md r04 addendum: stats 218.3s/64.9s, counts 92.5s/139.3s),
-so the counts-vs-stats default for the LSH pair kernel must be decided by
-a quantity the hypervisor cannot touch: the bytes each kernel actually
-exchanges. Spark's AppStatusStore records per-stage shuffle read/write
-bytes deterministically for a fixed plan + input; this tool runs BOTH
-kernels on the same signature table in one session and prints one JSON
-line with each kernel's shuffle write/read bytes (and its wall, for
-context only).
+so the counts-vs-stats choice must be decided by a quantity the
+hypervisor cannot touch: the bytes each kernel actually exchanges.
+Spark's AppStatusStore records per-stage shuffle read/write bytes
+deterministically for a fixed plan + input; this tool runs BOTH kernels
+on the same source table in one session and prints one JSON line with
+each kernel's shuffle write/read bytes (and its wall, for context only).
 
 Usage: PYTHONPATH=/root/repo python tools/kernel_ab.py [sf] [tier]
 ``tier`` is ``lsh`` (default) or ``simhash`` — the two pair kernels carry
@@ -68,13 +70,13 @@ def main() -> None:
         "metric": f"{tier}_pair_kernel_ab", "sf": sf, "cpus": cpus, "n_rows": n_rows
     }
     for kernel in ("counts", "stats", "counts", "stats"):  # 2 reps each
-        os.environ["SPARK_GRAFT_PAIRS_KERNEL"] = kernel
+        kcfg = DedupConfig(pairs_kernel=kernel)
         before = shuffle_totals(spark)
         t0 = time.monotonic()
         if tier == "simhash":
-            pairs = simhash_conv_pairs(source, DedupConfig(), materialize=True)
+            pairs = simhash_conv_pairs(source, kcfg, materialize=True)
         else:
-            pairs, _ = candidate_pairs(source)
+            pairs, _ = candidate_pairs(source, kcfg)
         pairs.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
         delta = shuffle_delta(before, shuffle_totals(spark))
