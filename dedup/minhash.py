@@ -304,13 +304,20 @@ def with_minhash(
     """
     from dedup.util import spread_for_udf
 
+    from dedup.util import narrow_plan
+
     cfg = cfg or DedupConfig()
     udf = make_minhash_udf(cfg)
     if repartition == "auto":
         conversations = spread_for_udf(conversations, materialized=True)
     elif repartition:
-        conversations = conversations.repartition(
-            conversations.sparkSession.sparkContext.defaultParallelism
+        # repartition=True callers may hand a MATERIALIZED frame (the bench
+        # micro passes a localCheckpoint): when the plan is narrow over
+        # materialized bytes, reading the real partition count is free and
+        # skips an unconditional full-doc-text shuffle (same contract —
+        # rows are spread to >= cluster parallelism either way)
+        conversations = spread_for_udf(
+            conversations, materialized=narrow_plan(conversations)
         )
     return conversations.withColumn("minhash", udf(_normalize_expr(F.col("doc"))))
 
