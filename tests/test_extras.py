@@ -785,3 +785,99 @@ def test_lineage_queries_share_one_pipeline_run_pair(spark, monkeypatch):
     entry.q_pipeline_resume(spark, SF).collect()
     assert calls["n"] == 2  # memo hit: no third run
     entry._lineage_memo.clear()
+
+
+def test_cc_chain_graph_and_hop_batching(spark):
+    """r06 loop rewrite (self-loop hop, 3 hops/round): a path graph is the
+    worst case for batched hops — labels must still converge to the chain
+    minimum, and isolated star centers keep their own label semantics."""
+    from dedup.cc import connected_components
+    from dedup.util import persistent_rdd_ids, unpersist_ids
+
+    pre = persistent_rdd_ids(spark)
+    # a 12-node chain (needs 11 propagation hops to reach the far end),
+    # plus a 3-leaf star, plus one disjoint pair
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+    star = [("s0", "s1"), ("s0", "s2"), ("s0", "s3")]
+    pair = [("p1", "p0")]
+    edges = spark.createDataFrame(
+        chain + star + pair, "conv_a string, conv_b string"
+    )
+    m: dict = {}
+    out = {
+        r["conv_id"]: r["cluster_id"]
+        for r in connected_components(edges, metrics_out=m).collect()
+    }
+    assert all(out[f"n{i:02d}"] == "n00" for i in range(12))
+    assert all(out[s] == "s0" for s in ("s0", "s1", "s2", "s3"))
+    assert out["p0"] == "p0" and out["p1"] == "p0"
+    assert m["cc_rounds"] * m["cc_hops_per_round"] >= 11  # chain depth
+    unpersist_ids(spark, persistent_rdd_ids(spark) - pre)
+
+
+def test_bucketed_pairs_checkpoint_elision(spark):
+    """r06: bucketed_pairs skips the banded-rows localCheckpoint when the
+    rows are a narrow pass over materialized bytes, and keeps it when the
+    lineage contains Python evaluation (recompute would re-run the UDF)."""
+    from pyspark.sql import functions as F
+
+    from dedup.lsh import bucketed_pairs
+    from dedup.util import free_all_scratch, narrow_plan, persistent_rdd_ids
+
+    free_all_scratch(spark)
+    rows = spark.createDataFrame(
+        [(i % 3, f"m{i}") for i in range(30)], "b int, conv_id string"
+    ).localCheckpoint()
+    assert narrow_plan(rows.select("b", "conv_id"))
+
+    pre = persistent_rdd_ids(spark)
+    pairs, ov = bucketed_pairs(rows, ["b"], ["conv_id"], cap=100)
+    n_narrow = len(persistent_rdd_ids(spark) - pre)  # stats checkpoint only
+
+    @F.pandas_udf("string")
+    def ident(s):
+        return s
+
+    udf_rows = rows.select("b", ident("conv_id").alias("conv_id"))
+    assert not narrow_plan(udf_rows)
+    pre = persistent_rdd_ids(spark)
+    pairs2, ov2 = bucketed_pairs(udf_rows, ["b"], ["conv_id"], cap=100)
+    n_udf = len(persistent_rdd_ids(spark) - pre)  # keyed + stats checkpoints
+    assert n_udf == n_narrow + 1, (n_narrow, n_udf)
+
+    a = {(r["a"]["conv_id"], r["b"]["conv_id"]) for r in pairs.collect()}
+    b = {(r["a"]["conv_id"], r["b"]["conv_id"]) for r in pairs2.collect()}
+    assert a == b and a
+    free_all_scratch(spark)
+
+
+def test_with_minhash_skips_repartition_on_wide_materialized_input(spark):
+    """r06: repartition=True must not shuffle the full document text when
+    the input is already materialized at >= cluster parallelism; lazy
+    inputs keep the unconditional spread."""
+    from pyspark.sql import functions as F
+
+    from dedup.minhash import with_minhash
+
+    par = spark.sparkContext.defaultParallelism
+    conv = (
+        spark.createDataFrame(
+            [(f"c{i}", f"doc text {i} " * 20) for i in range(64)],
+            "conv_id string, doc string",
+        )
+        .repartition(par)
+        .localCheckpoint()
+    )
+    plan_wide = (
+        with_minhash(conv)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan_wide
+
+    lazy = conv.groupBy("conv_id").agg(F.first("doc").alias("doc"))
+    plan_lazy = (
+        with_minhash(lazy)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "RoundRobinPartitioning" in plan_lazy  # unconditional spread kept

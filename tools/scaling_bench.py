@@ -192,8 +192,22 @@ def main() -> None:
         s1 = spin_calibration(1, dur=2.0)
         r_lo = run_bench(n_lo, sf_dir)
         s2 = spin_calibration(1, dur=2.0)
-        hi_speed = (s0 + s1) / 2.0  # host speed during the hi leg
-        lo_speed = (s1 + s2) / 2.0
+        def leg_speed(bracket_a: int, bracket_b: int, parsed: dict) -> float:
+            """Host speed during the leg's RECORDED (best) rep: the 1-proc
+            bracket mean sets the cross-leg unit, scaled by the best rep's
+            own same-moment n-proc rep spin relative to the leg's mean rep
+            spin (ADVICE r05: the recorded wall is ONE rep; a whole-leg
+            bracket can correct it with a window it didn't run in)."""
+            base = (bracket_a + bracket_b) / 2.0
+            runs = parsed.get("pipeline_synth_runs")
+            spins = parsed.get("pipeline_synth_rep_spins")
+            if runs and spins and len(runs) == len(spins) and min(spins) > 0:
+                best = runs.index(min(runs))
+                return base * (spins[best] * len(spins) / sum(spins))
+            return base
+
+        hi_speed = leg_speed(s0, s1, r_hi)  # host speed during the hi leg
+        lo_speed = leg_speed(s1, s2, r_lo)
         w_hi, w_lo = (
             r_hi["queries"]["pipeline_synth"],
             r_lo["queries"]["pipeline_synth"],

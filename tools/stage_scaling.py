@@ -157,6 +157,9 @@ def main() -> None:
         for ph in PHASES:
             r = w_lo[ph] / w_hi[ph] if w_hi[ph] else float("nan")
             print(f"{ph:<16}{w_lo[ph]:>12.2f}{w_hi[ph]:>12.2f}{r:>8.2f}")
+        # per-round machine-readable record (ADVICE r05): a child crash in a
+        # LATER round must not discard the structured rows already measured
+        print(f"STAGE_SCALING_ROUND {json.dumps(rec)}", flush=True)
     print("\nSTAGE_SCALING " + json.dumps(recs))
 
 
