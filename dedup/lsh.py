@@ -111,8 +111,9 @@ def bucketed_pairs(
     # expensive (a UDF or shuffle in the lineage): banding over an
     # already-materialized signature table is a narrow project+explode+
     # xxhash64 pass, and re-running it twice beats writing + re-reading a
-    # banded-rows checkpoint (measured r06: lsh_pairs micro 4.6 → ~3.3 s,
-    # the 150 MB keyed checkpoint was pure overhead)
+    # banded-rows checkpoint (measured r06: the banding scan is 1.3 s at
+    # sf0.1 while the elided checkpoint was a 150 MB write + two reads;
+    # best lsh_pairs micro sample 3.82 s vs the 4.45-4.60 s r05/baseline)
     if materialize and not narrow_plan(keyed):
         keyed = keyed.localCheckpoint()
     if kernel == "counts":
