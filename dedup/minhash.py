@@ -138,18 +138,25 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
         return np.unique(_mix64(h))
 
 
-def batch_window_hashes(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def batch_window_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Mixed uint64 k-byte-window hashes for a WHOLE batch of texts in one
     vectorized pass: all bytes are concatenated, one sliding-window matmul
     computes every window hash, and windows crossing document boundaries are
     dropped with a ragged-range index. Texts shorter than k contribute one
     whole-text hash (same convention as shingle_hashes).
 
+    Elements may be ``str`` (UTF-8-encoded here) or already-encoded
+    ``bytes`` — callers that normalize in vectorized byte space (simhash's
+    batch normalize) skip a decode/re-encode round trip per doc.
+
     Returns (H, starts, counts): doc i's window hashes (multiset, NOT
     deduped — MinHash's min and SimHash's votes are defined on multisets)
     are H[starts[i] : starts[i]+counts[i]].
     """
-    bufs = [t.encode("utf-8", "surrogatepass") for t in texts]
+    bufs = [
+        t if isinstance(t, bytes) else t.encode("utf-8", "surrogatepass")
+        for t in texts
+    ]
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
     n_docs = len(bufs)
     counts = np.where(lens >= k, lens - k + 1, 1)
@@ -330,6 +337,71 @@ def py_normalize(text: str) -> str:
     import re
 
     return re.sub(NORM_PATTERN, " ", text.lower())
+
+
+#: ASCII bytes matched by NORM_PATTERN: \t\n\v\f\r, \x1c-\x1f, space
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32  # A-Z → a-z
+
+
+def batch_ws_normalize_bytes(texts, cap: int | None = None) -> list[bytes]:
+    """UTF-8 bytes of ``py_normalize(t)[:cap]`` for every text, vectorized.
+
+    ASCII texts (the overwhelming majority) take ONE numpy pass over the
+    concatenated byte buffer: lowercase via LUT, every whitespace run —
+    including leading/trailing runs; py_normalize does not strip — collapses
+    to a single space. Non-ASCII texts fall back to the per-doc regex.
+    Bit-identity with the regex is pinned by test. The per-doc ``re.sub``
+    loop this replaces was ~0.15 s per 5 MB of docs in the span-anchor and
+    fingerprint UDFs.
+    """
+    n = len(texts)
+    out: list[bytes | None] = [None] * n
+    ascii_idx: list[int] = []
+    bufs: list[bytes] = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        if t.isascii():
+            ascii_idx.append(i)
+            bufs.append(t.encode("ascii"))
+        else:
+            s = py_normalize(t)
+            if cap is not None:
+                s = s[:cap]
+            out[i] = s.encode("utf-8", "surrogatepass")
+    if not bufs:
+        return out
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    if int(lens.sum()) == 0:
+        for i in ascii_idx:
+            out[i] = b""
+        return out
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    low = _LOWER_LUT[buf]
+    ws = _WS_BYTES[buf]
+    # keep all non-whitespace, plus the HEAD of every whitespace run (the
+    # previous char in the SAME doc is non-whitespace or absent)
+    prev_ws = np.empty_like(ws)
+    prev_ws[0] = False
+    prev_ws[1:] = ws[:-1]
+    prev_ws[offs[offs < buf.size]] = False  # empty trailing docs: offs == size
+    keep = (~ws) | (~prev_ws)
+    low[ws] = 32  # in place: low is this function's own temporary
+    raw = low[keep].tobytes()
+    kc = np.cumsum(keep, dtype=np.int64)
+    ends = offs + lens
+    kept_end = np.where(ends > 0, kc[np.maximum(ends - 1, 0)], 0)
+    prev = 0
+    for j, i in enumerate(ascii_idx):
+        e = int(kept_end[j])
+        b = raw[prev:e]
+        out[i] = b[:cap] if cap is not None else b
+        prev = e
+    return out
 
 
 def py_minhash(text: str, cfg: DedupConfig) -> np.ndarray:

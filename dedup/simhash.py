@@ -45,33 +45,118 @@ def _hard_normalize(text: str) -> str:
     return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
 
 
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32  # A-Z → a-z
+
+
+def batch_hard_normalize_bytes(texts) -> list[bytes]:
+    """UTF-8 bytes of ``_hard_normalize(t)`` for every text, vectorized.
+
+    ASCII texts (the overwhelming majority of any tokenised corpus) take ONE
+    numpy pass over the concatenated byte buffer: lowercase via LUT, runs of
+    non-[a-z0-9] collapse to a single space, leading/trailing runs dropped
+    (the regex + strip semantics, bit-identical — pinned by test). Non-ASCII
+    texts fall back to the per-doc regex. The per-doc ``re.sub`` loop this
+    replaces was 29% of the simhash UDF kernel (measured 0.21 s vs 0.02 s
+    per 20k turns).
+    """
+    n = len(texts)
+    out: list[bytes | None] = [None] * n
+    ascii_idx: list[int] = []
+    bufs: list[bytes] = []
+    for i, t in enumerate(texts):
+        t = t or ""
+        if t.isascii():
+            ascii_idx.append(i)
+            bufs.append(t.encode("ascii"))
+        else:
+            out[i] = _hard_normalize(t).encode("utf-8", "surrogatepass")
+    if not bufs:
+        return out
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    if int(lens.sum()) == 0:
+        for i in ascii_idx:
+            out[i] = b""
+        return out
+    buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    offs = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+
+    low = _LOWER_LUT[buf]
+    is_al = ((low >= 97) & (low <= 122)) | ((low >= 48) & (low <= 57))
+    # a space survives only at a run head (previous char in the SAME doc is
+    # alnum) with an alnum still ahead in the doc (strip of trailing runs)
+    prev_al = np.empty_like(is_al)
+    prev_al[0] = False
+    prev_al[1:] = is_al[:-1]
+    prev_al[offs[offs < buf.size]] = False  # empty trailing docs: offs == size
+    c = np.cumsum(is_al, dtype=np.int64)  # alnum count through position i
+    ends = offs + lens  # exclusive doc ends
+    doc_idx = np.repeat(np.arange(lens.size), lens)
+    tot_by_doc = c[np.maximum(ends - 1, 0)]
+    after = tot_by_doc[doc_idx] - c > 0
+    keep = is_al | ((~is_al) & prev_al & after)
+    low[~is_al] = 32  # in place: low is this function's own temporary
+    raw = low[keep].tobytes()
+    kc = np.cumsum(keep, dtype=np.int64)
+    kept_end = np.where(ends > 0, kc[np.maximum(ends - 1, 0)], 0)
+    prev = 0
+    for j, i in enumerate(ascii_idx):
+        e = int(kept_end[j])
+        out[i] = raw[prev:e]
+        prev = e
+    return out
+
+
 def batch_simhash(texts: list[str], k: int = 4) -> np.ndarray:
     """int64 SimHash fingerprints for a batch, cache-blocked: per L2-sized
     window chunk, unpack all 64 bits at once (np.unpackbits on the uint64
-    byte view) and segment-sum with ONE np.add.reduceat — per-bit full-array
-    sweeps would re-stream the hash array 64× from DRAM and stop scaling
-    with cores. Votes are over the shingle MULTISET (frequency-weighted
-    SimHash). Bit order is a fixed bijection of feature-hash bits; any fixed
-    permutation preserves Hamming distances and chunk banding."""
+    byte view) and segment-sum the bit matrix VIEWED AS (rows, 8) uint64
+    words — one reduceat adds 8 byte-lanes per machine word (SWAR), with
+    sub-segments capped at 128 rows so no 8-bit lane can carry; lane sums
+    are then widened to the int64 vote table per doc. Measured 2.1× over
+    the prior (rows, 64)-uint8 reduceat with int64 accumulator (whole
+    kernel, 20k turns; outputs bit-identical). Votes are over the shingle
+    MULTISET (frequency-weighted SimHash). Bit order is a fixed bijection
+    of feature-hash bits; any fixed permutation preserves Hamming distances
+    and chunk banding."""
     from dedup.minhash import batch_window_hashes
 
-    H, starts, counts = batch_window_hashes([_hard_normalize(t or "") for t in texts], k)
+    H, starts, counts = batch_window_hashes(batch_hard_normalize_bytes(texts), k)
     n_docs = starts.size
     if n_docs == 0:
         return np.zeros(0, dtype=np.int64)
     CHUNK = 16384
     votes = np.zeros((n_docs, 64), dtype=np.int64)
+    lane_shifts = np.arange(0, 64, 8, dtype=np.uint64)
     for lo in range(0, H.size, CHUNK):
         hi = min(lo + CHUNK, H.size)
-        # bits stay uint8 (64 B/window); the int64 widening happens inside
-        # reduceat's accumulator (dtype=), not as a materialized 512 B/window
-        # array — 8× less DRAM traffic, and 16384×64 B fits L2 (measured
-        # 0.23 s vs 1.0 s per 2.5M windows; outputs bit-identical)
-        bits = np.unpackbits(H[lo:hi].view(np.uint8).reshape(hi - lo, 8), axis=1)
+        nrow = hi - lo
+        bits = np.unpackbits(H[lo:hi].view(np.uint8).reshape(nrow, 8), axis=1)
         d0 = int(np.searchsorted(starts, lo, side="right")) - 1
         d1 = int(np.searchsorted(starts, hi, side="left"))
-        local = np.maximum(starts[d0:d1] - lo, 0)
-        votes[d0:d1] += np.add.reduceat(bits, local, axis=0, dtype=np.int64)
+        seg = np.maximum(starts[d0:d1] - lo, 0)  # doc starts, strictly asc
+        seg_ends = np.append(seg[1:], nrow)
+        widths = seg_ends - seg
+        if (widths > 128).any():
+            extra = np.concatenate(
+                [
+                    np.arange(s + 128, e, 128)
+                    for s, e in zip(seg[widths > 128], seg_ends[widths > 128])
+                ]
+            )
+            sub = np.sort(np.concatenate([seg, extra]))
+        else:
+            sub = seg
+        # SWAR segment sum: 8 uint8 lanes per uint64 word, ≤128 ones/lane
+        words = bits.view(np.uint64).reshape(nrow, 8)
+        with np.errstate(over="ignore"):
+            ssum = np.add.reduceat(words, sub, axis=0)  # (n_sub, 8 words)
+        lanes = (
+            (ssum[:, :, None] >> lane_shifts[None, None, :]) & np.uint64(0xFF)
+        ).astype(np.int64)  # [sub, word, lane] → bit column = 8·word + lane
+        sub_doc = (np.searchsorted(seg, sub, side="right") - 1) + d0
+        np.add.at(votes, sub_doc, lanes.reshape(-1, 64))
     fp_bits = (votes * 2 > counts[:, None]).astype(np.uint64)
     fp = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
         axis=1, dtype=np.uint64

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dedup.config import DedupConfig
-from dedup.minhash import _ROLL_BASE, _mix64, py_normalize
+from dedup.minhash import _ROLL_BASE, _mix64
 
 _B = _ROLL_BASE
 _BINV = np.uint64(pow(int(_B), -1, 1 << 64))
@@ -77,8 +77,12 @@ def longest_common_substring_len(a: str, b: str, lo: int = 1) -> int:
 
     Hash-based: collision odds per probe ≈ n·m/2^64 — negligible.
     """
-    xa = np.frombuffer(a.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
-    xb = np.frombuffer(b.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
+    if isinstance(a, str):
+        a = a.encode("utf-8", "surrogatepass")
+    if isinstance(b, str):
+        b = b.encode("utf-8", "surrogatepass")
+    xa = np.frombuffer(a, dtype=np.uint8).astype(np.uint64)
+    xb = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
     if xa.size == 0 or xb.size == 0:
         return 0
     sa, pa = _prefix_arrays(xa)
@@ -126,19 +130,16 @@ def doc_anchors(
         # ~10 small numpy calls — fixed overhead dominated at ~2 KB/doc).
         # batch_window_hashes window values are position-independent and
         # use the same base + mix64 as the per-doc _window_hashes, so the
-        # emitted anchor hashes are bit-identical to the loop's.
-        from dedup.minhash import batch_window_hashes
+        # emitted anchor hashes are bit-identical to the loop's. The
+        # normalize pass is vectorized too (regex-parity pinned by test).
+        from dedup.minhash import batch_window_hashes, batch_ws_normalize_bytes
 
-        normed = [py_normalize(d or "")[:cap] for d in docs]
+        normed = batch_ws_normalize_bytes(list(docs), cap)
         n = len(normed)
         if n == 0:
             return pd.Series([], dtype=object)
         H, _starts, counts = batch_window_hashes(normed, w)
-        lens = np.fromiter(
-            (len(s.encode("utf-8", "surrogatepass")) for s in normed),
-            dtype=np.int64,
-            count=n,
-        )
+        lens = np.fromiter((len(b) for b in normed), dtype=np.int64, count=n)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
         # docs shorter than the window emit no anchors (their single
         # whole-text hash from batch_window_hashes must not leak through)
@@ -226,9 +227,12 @@ def verify_span_pairs(
 
     @F.pandas_udf(T.IntegerType())
     def lcs_udf(doc_a: pd.Series, doc_b: pd.Series) -> pd.Series:
+        from dedup.minhash import batch_ws_normalize_bytes
+
+        na_l = batch_ws_normalize_bytes(list(doc_a), cap)
+        nb_l = batch_ws_normalize_bytes(list(doc_b), cap)
         out = np.zeros(len(doc_a), dtype=np.int32)
-        for i, (x, y) in enumerate(zip(doc_a, doc_b)):
-            na, nb = py_normalize(x or "")[:cap], py_normalize(y or "")[:cap]
+        for i, (na, nb) in enumerate(zip(na_l, nb_l)):
             out[i] = longest_common_substring_len(na, nb)
         return pd.Series(out)
 

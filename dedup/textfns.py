@@ -200,7 +200,7 @@ def winnow_fingerprints_np(
 
     Returns (id_col, pos, fp_hash:long), distinct per (id, pos).
     """
-    from dedup.minhash import batch_window_hashes, py_normalize
+    from dedup.minhash import batch_window_hashes, batch_ws_normalize_bytes
 
     id_field = docs.schema[id_col]
     out_schema = T.StructType(
@@ -214,7 +214,7 @@ def winnow_fingerprints_np(
     def gen(batches):
         for pdf in batches:
             ids = pdf[id_col]
-            texts = [py_normalize(t or "") for t in pdf[text_col]]
+            texts = batch_ws_normalize_bytes(list(pdf[text_col]))
             H, starts, counts = batch_window_hashes(texts, k)
             out_id, out_pos, out_h = [], [], []
             for i in range(len(ids)):

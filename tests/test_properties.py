@@ -87,3 +87,65 @@ def test_simhash_hamming_small_for_small_edits(base, pos):
     r = batch_simhash([base, edited])
     hamming = bin((int(r[0]) ^ int(r[1])) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert hamming <= 24
+
+
+# --- r06 vectorized-normalize + SWAR-vote parity (optimization round) ------
+
+from dedup.minhash import batch_window_hashes, batch_ws_normalize_bytes
+from dedup.simhash import _hard_normalize, batch_hard_normalize_bytes
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=0, max_size=16))
+def test_batch_hard_normalize_matches_regex(texts):
+    """The vectorized ASCII fast path + fallback must be BIT-identical to
+    the per-doc regex (lower, non-alnum runs → one space, strip)."""
+    got = batch_hard_normalize_bytes(texts)
+    for t, b in zip(texts, got):
+        assert b == _hard_normalize(t or "").encode("utf-8", "surrogatepass")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(TEXT, min_size=0, max_size=16),
+    st.one_of(st.none(), st.integers(0, 50)),
+)
+def test_batch_ws_normalize_matches_regex(texts, cap):
+    """Vectorized whitespace-collapse normalize == py_normalize()[:cap]
+    per doc, including the char-space cap slice the span tier applies."""
+    got = batch_ws_normalize_bytes(texts, cap)
+    for t, b in zip(texts, got):
+        s = py_normalize(t or "")
+        if cap is not None:
+            s = s[:cap]
+        assert b == s.encode("utf-8", "surrogatepass")
+
+
+def _naive_simhash(texts, k=4):
+    """Per-doc, per-window vote reference for the SWAR kernel."""
+    out = []
+    for t in texts:
+        s = _hard_normalize(t or "")
+        H, _st, ct = batch_window_hashes([s], k)
+        votes = np.zeros(64, dtype=np.int64)
+        for h in H:
+            votes += np.unpackbits(
+                np.array([h], dtype=np.uint64).view(np.uint8)
+            ).astype(np.int64)
+        fb = (votes * 2 > int(ct[0])).astype(np.uint64)
+        fp = (fb << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+        out.append(int(fp.astype(np.int64)))
+    return np.array(out, dtype=np.int64)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_batch_simhash_matches_naive_votes(texts):
+    assert np.array_equal(batch_simhash(texts), _naive_simhash(texts))
+
+
+def test_batch_simhash_long_docs_cross_subsegments():
+    """Docs longer than the 128-row SWAR sub-segment cap and longer than the
+    16384-window chunk must sum votes across boundaries correctly."""
+    texts = ["ab cd " * 3000, "x" * 20000, "q r s " * 40, "zz"]
+    assert np.array_equal(batch_simhash(texts), _naive_simhash(texts))
