@@ -262,8 +262,15 @@ class DedupPipeline:
                 .select("conv_id", "turn_idx", "simhash")
                 .localCheckpoint()
             )
+            # materialize=False in BOTH modes: the turn-pair table has
+            # exactly ONE consumer (the coverage aggregation inside
+            # simhash_conv_pairs) and its expensive inputs (the turn-simhash
+            # table above, the fp stats tables) are already checkpointed —
+            # the unfused path paid a ~1M-row write+read for nothing
+            # (tools/testdata_ab.py: 9.49 vs 9.75 s warm at matched spins,
+            # clusters bit-identical; the fused path already elided it)
             sh_pairs, sh_overflow = simhash_conv_pairs(
-                sh, cfg, materialize=mat, return_overflow=True
+                sh, cfg, materialize=False, return_overflow=True
             )
             tier["simhash"] = sh_pairs
             overflow_dfs["simhash_overflow_buckets"] = sh_overflow
